@@ -1,0 +1,65 @@
+"""All pipeline tunables in one serializable dataclass.
+
+The reference hard-codes a grid of clustering configs as DataFrame
+*columns* (``create_silver_label.py:38-47`` — ``cluster_{size}_{t}``);
+here a single config object parameterizes one run (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- text path -------------------------------------------------
+    shingle_k: int = 9            # char k-shingles over the normalized transcript
+    num_perm: int = 128           # MinHash permutations
+    bands: int = 32               # LSH bands (bands * rows_per_band == num_perm)
+    rows_per_band: int = 4
+    jaccard_threshold: float = 0.8   # verify threshold (reference community t grid: 0.6-0.9)
+    est_margin: float = 0.25      # signature-estimate prefilter slack before exact verify
+
+    # --- audio path ------------------------------------------------
+    simhash_bits: int = 64        # SimHash width over spectral fingerprint
+    hamming_threshold: int = 8    # max Hamming distance for audio near-dup
+    simhash_bands: int = 8        # LSH bands over the simhash bits (8 x 8 bits)
+    fft_frame: int = 1024         # samples per analysis frame
+    fft_hop: int = 512
+    n_mel_bands: int = 64         # log-spaced energy bands per frame
+
+    # --- candidate-join scale controls ------------------------------
+    max_bucket_size: int = 256    # LSH buckets larger than this use star-edges
+                                  # (member -> bucket-min) instead of all-pairs
+    salt_buckets: int = 16        # salt fan-out used to spread verify work
+
+    # --- clustering ------------------------------------------------
+    min_cluster_size: int = 2     # reference community_detection min size (cluster_news.py:22)
+    cc_max_iterations: int = 25   # large-star/small-star fixpoint cap
+
+    # --- temporal semantics (reference create_silver_label.py:78,236,380) ---
+    temporal_eps_days: int = 1        # 1-D DBSCAN eps
+    temporal_min_samples: int = 3     # 1-D DBSCAN min_samples
+    merge_max_gap_days: int = 10      # cluster-merge temporal gate
+    merge_entity_overlap: float = 0.5 # entity overlap >= 0.5 (max-denominator)
+    merge_entity_min_count: int = 4   # entity mentioned > 4x per cluster
+
+    # --- determinism ------------------------------------------------
+    seed: int = 42
+
+    # --- spark knobs -------------------------------------------------
+    shuffle_partitions: int = 32
+    arrow_max_records: int = 10_000
+
+    def as_dict(self) -> dict:
+        return asdict(self)
+
+    def __post_init__(self):
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"bands*rows_per_band must equal num_perm "
+                f"({self.bands}*{self.rows_per_band} != {self.num_perm})"
+            )
+
+
+DEFAULT = DedupConfig()

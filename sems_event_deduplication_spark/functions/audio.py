@@ -1,0 +1,169 @@
+"""Audio path: PCM decode, spectral fingerprint, SimHash, SNR.
+
+This is the new modality axis (BASELINE.json input_hint: ``bytes``,
+``sr_hz``, ``dur_ms``, ``codec``). The reference has no audio; its
+analogue is batched model inference over titles
+(``create_silver_label.py:96-106`` — SURVEY.md §2.11 X3), which maps to
+scalar Arrow ``pandas_udf``s here.
+
+Chain (all inside one Arrow batch UDF, numpy only — no scipy/librosa):
+
+    bytes --decode(codec)--> float PCM in [-1, 1]
+          --frame + rFFT--> per-frame magnitude spectrum
+          --log band energies (mean over frames, mean-subtracted)-->
+          fingerprint vector (amplitude-invariant)
+          --fixed-seed Gaussian projection, sign--> 64-bit SimHash
+
+Supported codecs: ``pcm_s16le``, ``pcm_f32le`` (numpy-decodable, per
+FIXTURES.md §1). Anything else raises — the container has no codec
+libs; the plumbing (schema, batching, signature width) is real.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SUPPORTED_CODECS = ("pcm_s16le", "pcm_f32le")
+
+
+def decode_pcm(buf: bytes, codec: str) -> np.ndarray:
+    """Decode an encoded payload to float32 PCM in [-1, 1]."""
+    if codec == "pcm_s16le":
+        return np.frombuffer(buf, dtype="<i2").astype(np.float32) / 32768.0
+    if codec == "pcm_f32le":
+        return np.frombuffer(buf, dtype="<f4").astype(np.float32)
+    raise NotImplementedError(
+        f"codec {codec!r} not decodable with numpy alone (supported: {SUPPORTED_CODECS})"
+    )
+
+
+def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
+    """Signal-to-noise ratio of ``test`` against ``ref`` in dB.
+
+    Identical signals -> +inf (callers compare against a 30 dB floor,
+    per the BASELINE.json per-row invariant).
+    """
+    n = min(len(ref), len(test))
+    if n == 0:
+        return float("-inf")
+    r = ref[:n].astype(np.float64)
+    d = r - test[:n].astype(np.float64)
+    p_sig = float(np.sum(r * r))
+    p_noise = float(np.sum(d * d))
+    if p_noise == 0.0:
+        return float("inf")
+    if p_sig == 0.0:
+        return float("-inf")
+    return 10.0 * np.log10(p_sig / p_noise)
+
+
+def spectral_fingerprint(
+    pcm: np.ndarray, frame: int = 1024, hop: int = 512, n_bands: int = 64
+) -> np.ndarray:
+    """Amplitude-invariant log-band-energy vector (length n_bands)."""
+    if len(pcm) < frame:
+        pcm = np.pad(pcm, (0, frame - len(pcm)))
+    n_frames = 1 + (len(pcm) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = pcm[idx] * np.hanning(frame)[None, :]
+    mag = np.abs(np.fft.rfft(frames, axis=1))  # (n_frames, frame//2+1)
+    n_bins = mag.shape[1]
+    # log-spaced band edges over the positive-frequency bins, all < n_bins
+    edges = np.unique(
+        np.clip(
+            np.round(np.logspace(0, np.log10(n_bins - 1), n_bands + 1)).astype(np.int64),
+            1,
+            n_bins - 1,
+        )
+    )
+    if len(edges) < n_bands + 1:  # low end collapses under rounding: fill gaps
+        have = set(edges.tolist())
+        fill = [x for x in range(1, n_bins) if x not in have][: n_bands + 1 - len(edges)]
+        edges = np.sort(np.concatenate([edges, np.asarray(fill, dtype=np.int64)]))
+    band_e = np.add.reduceat((mag * mag).sum(axis=0), edges[:-1])[:n_bands]
+    logb = np.log10(band_e + 1e-12)
+    return (logb - logb.mean()).astype(np.float64)  # amplitude-invariant
+
+
+def _projection(n_bands: int, bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed + 7_919)
+    return rng.standard_normal((bits, n_bands))
+
+
+def simhash_from_fingerprint(fp: np.ndarray, proj: np.ndarray) -> int:
+    bits = (proj @ fp) > 0
+    word = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            word |= np.uint64(1) << np.uint64(i)
+    return int(word.view(np.int64).item()) if hasattr(word, "view") else int(word)
+
+
+def make_audio_simhash_udf(
+    frame: int, hop: int, n_bands: int, bits: int, seed: int
+):
+    """pandas_udf (bytes, codec) -> bigint SimHash of the audio content."""
+    proj = _projection(n_bands, bits, seed)
+
+    @F.pandas_udf(T.LongType())
+    def audio_simhash(buf: pd.Series, codec: pd.Series) -> pd.Series:
+        out = np.empty(len(buf), dtype=np.int64)
+        pm = proj  # local ref; broadcast once per executor via closure pickle
+        for i, (b, c) in enumerate(zip(buf, codec)):
+            if b is None or len(b) == 0:
+                out[i] = 0
+                continue
+            fp = spectral_fingerprint(decode_pcm(bytes(b), c), frame, hop, n_bands)
+            proj_bits = (pm @ fp) > 0
+            word = np.zeros(1, dtype=np.uint64)
+            word[0] = np.packbits(
+                np.pad(proj_bits.astype(np.uint8), (0, 64 - len(proj_bits))), bitorder="little"
+            ).view(np.uint64)[0]
+            out[i] = word.view(np.int64)[0]
+        return pd.Series(out)
+
+    return audio_simhash
+
+
+def make_snr_udf():
+    """pandas_udf (bytes_a, codec_a, bytes_b, codec_b) -> double SNR dB.
+
+    inf is clamped to 999.0 so the result stays a plain double column.
+    """
+
+    @F.pandas_udf(T.DoubleType())
+    def pair_snr(ba: pd.Series, ca: pd.Series, bb: pd.Series, cb: pd.Series) -> pd.Series:
+        out = np.empty(len(ba), dtype=np.float64)
+        for i in range(len(ba)):
+            if ba[i] is None or bb[i] is None:
+                out[i] = float("-inf")
+                continue
+            v = snr_db(decode_pcm(bytes(ba[i]), ca[i]), decode_pcm(bytes(bb[i]), cb[i]))
+            out[i] = 999.0 if v == float("inf") else v
+        return pd.Series(out)
+
+    return pair_snr
+
+
+def simhash_bands(sim: Column, n_bands: int, bits: int = 64) -> Column:
+    """Split a 64-bit SimHash into ``n_bands`` contiguous bit-slices.
+
+    Returns array<long> of band keys (band index folded in JVM-side).
+    """
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.xxhash64(F.lit(i), F.shiftright(sim, i * width).bitwiseAND(F.lit(mask)))
+            for i in range(n_bands)
+        ]
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """bit_count(a XOR b) — native, codegen'd."""
+    return F.bit_count(a.bitwiseXOR(b))

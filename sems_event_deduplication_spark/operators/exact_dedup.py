@@ -1,0 +1,83 @@
+"""Exact deduplication (SURVEY.md §2.3 D1 / §2.6 W1).
+
+Reference: ``drop_duplicates(subset='title', keep="last")``
+(``create_silver_label.py:67``). "last" is positional there; here order
+is an explicit column (``order_col``), so the semantics are
+deterministic and distribution-safe:
+
+    row_number() OVER (PARTITION BY key ORDER BY ord DESC) = 1
+
+For the big pipeline the exact key is a content digest
+``sha2(transcript) [, sha2(bytes)]`` so the (possibly huge) payload
+never becomes a shuffle key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_keep_last(
+    df: DataFrame, key_cols: list[str], order_col: str
+) -> DataFrame:
+    """Keep the last row (max order_col) per key. Deterministic."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup_by_content(
+    df: DataFrame,
+    text_col: str = "transcript_norm",
+    payload_col: str | None = "bytes",
+    order_col: str = "clip_id",
+) -> DataFrame:
+    """Content-hash exact dedup: cheap cardinality cut before LSH.
+
+    Mirrors the reference's "dedup before the expensive stage" ordering
+    (``create_silver_label.py:67`` before ``:76``), keyed on digests so
+    binary payloads don't ride the shuffle.
+    """
+    key_names = ["__k_text"]
+    with_keys = df.withColumn("__k_text", F.sha2(F.col(text_col), 256))
+    if payload_col is not None:
+        key_names.append("__k_payload")
+        with_keys = with_keys.withColumn("__k_payload", F.sha2(F.col(payload_col), 256))
+    out = dedup_keep_last(with_keys, key_names, order_col)
+    return out.drop(*key_names)
+
+
+def exact_dedup_with_edges(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    text_col: str = "transcript_norm",
+    payload_col: str | None = "bytes",
+    order_col: str = "clip_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Exact dedup + the (kept_id, dropped_id) edge list.
+
+    The dropped rows must still appear in the final clusters (the
+    reference keeps them implicitly because it dedups the *same* frame
+    it clusters); the edges feed connected components so exact dups
+    re-attach to their keeper's component.
+    """
+    key_names = ["__k_text"]
+    with_keys = df.withColumn("__k_text", F.sha2(F.col(text_col), 256))
+    if payload_col is not None:
+        key_names.append("__k_payload")
+        with_keys = with_keys.withColumn("__k_payload", F.sha2(F.col(payload_col), 256))
+
+    w = Window.partitionBy(*key_names).orderBy(F.col(order_col).desc())
+    ranked = with_keys.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__keeper", F.first(F.col(id_col)).over(w)
+    )
+    kept = ranked.filter(F.col("__rn") == 1).drop("__rn", "__keeper", *key_names)
+    edges = (
+        ranked.filter(F.col("__rn") > 1)
+        .select(F.col("__keeper").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return kept, edges

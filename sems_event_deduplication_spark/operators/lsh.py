@@ -1,0 +1,80 @@
+"""LSH band-bucket candidate generation (SURVEY.md §2.4 J1).
+
+Replaces the reference's O(n²) all-pairs loop
+(``create_silver_label.py:351-355`` — ``combinations(cluster_id, 2)``)
+with an equi-self-join on ``(band_id, band_hash)``.
+
+Scale design (the part that must survive 10¹² rows):
+
+- Signatures are exploded to ``(clip_id, band_id, band_hash)`` —
+  O(n·bands) rows, never the raw text/payload.
+- **Skew**: a boilerplate-heavy bucket of size m would emit m² pairs.
+  Every bucket gets its size via a count window (same shuffle key as
+  the join, so co-partitioned). Buckets with ``size <= max_bucket_size``
+  do the full intra-bucket pair join; larger buckets fall back to
+  **star edges** (every member -> bucket-min member, via a min window)
+  — O(m) output that still connects the component for CC. This is the
+  salting-adjacent cap: correctness of *clusters* is preserved because
+  edges only need to connect, not enumerate.
+- AQE skew-join splitting stays on as the second line of defense, and
+  the verify stage repartitions by a salted key
+  (``pmod(xxhash64(id_a), salt_buckets)``) to spread hot verification
+  work.
+- Pairs are deduped across bands with a groupBy on (id_a, id_b) —
+  map-side partial aggregation collapses most duplicates before the
+  shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def explode_bands(df: DataFrame, id_col: str, bands_col: str) -> DataFrame:
+    """(id, array<long> bands) -> (id, band_id, band_hash)."""
+    return df.select(
+        F.col(id_col).alias("clip_id"),
+        F.posexplode(F.col(bands_col)).alias("band_id", "band_hash"),
+    )
+
+
+def candidate_pairs(
+    banded: DataFrame,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """(clip_id, band_id, band_hash) -> distinct (id_a, id_b), id_a < id_b.
+
+    Small buckets: full intra-bucket pairs. Oversized buckets: star
+    edges to the bucket minimum (O(m), logged via n_star_buckets
+    metric column upstream if needed).
+    """
+    w = Window.partitionBy("band_id", "band_hash")
+    sized = banded.withColumn("__bucket_n", F.count(F.lit(1)).over(w)).withColumn(
+        "__bucket_min", F.min("clip_id").over(w)
+    )
+
+    small = sized.filter(
+        (F.col("__bucket_n") <= max_bucket_size) & (F.col("__bucket_n") > 1)
+    )
+    a = small.select("band_id", "band_hash", F.col("clip_id").alias("id_a"))
+    b = small.select("band_id", "band_hash", F.col("clip_id").alias("id_b"))
+    small_pairs = a.join(b, ["band_id", "band_hash"]).filter(F.col("id_a") < F.col("id_b"))
+
+    big_pairs = (
+        sized.filter(F.col("__bucket_n") > max_bucket_size)
+        .filter(F.col("clip_id") != F.col("__bucket_min"))
+        .select(F.col("__bucket_min").alias("id_a"), F.col("clip_id").alias("id_b"))
+    )
+
+    return (
+        small_pairs.select("id_a", "id_b")
+        .unionByName(big_pairs)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def salted(df: DataFrame, key_col: str, salt_buckets: int) -> DataFrame:
+    """Append a deterministic salt column for repartitioning hot keys."""
+    return df.withColumn("__salt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets)))

@@ -1,0 +1,142 @@
+"""Temporal semantics: 1-D DBSCAN denoise + interval merge gate.
+
+Reference behaviors re-expressed as pure window SQL (SURVEY.md W2, J2):
+
+- ``run_temporal_clustering`` (``create_silver_label.py:223-261``) runs
+  sklearn DBSCAN(eps=1 day, min_samples=3) per cluster on the day axis,
+  drops outliers, keeps the most-populated temporal segment.
+- ``merge_cluster``'s temporal gate (``create_silver_label.py:358-382``)
+  merges two clusters iff their [min_date, max_date] intervals are
+  within ``merge_max_gap_days`` (distance <= 10 covers overlap).
+
+Exact 1-D DBSCAN parity, no UDF:
+  core point  <-> >= min_samples points within +-eps days
+                  (count OVER RANGE BETWEEN eps PRECEDING AND eps FOLLOWING)
+  two core days chain iff gap <= eps (lag + cumsum session id)
+  border day  -> segment of the nearest core day within eps
+                 (ties -> earlier core day)
+  else        -> noise (dropped)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dbscan_1d_segments(
+    df: DataFrame,
+    cluster_col: str = "component",
+    date_col: str = "event_date",
+    eps_days: int = 1,
+    min_samples: int = 3,
+) -> DataFrame:
+    """Adds ``segment`` (temporal sub-cluster id per cluster; null = noise)."""
+    day = F.datediff(
+        F.col(date_col), F.min(date_col).over(Window.partitionBy(cluster_col))
+    )
+    d = df.withColumn("__day", day)
+
+    # point counts per (cluster, day); core-day detection on the compressed day axis
+    days = d.groupBy(cluster_col, "__day").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_rng = (
+        Window.partitionBy(cluster_col)
+        .orderBy("__day")
+        .rangeBetween(-eps_days, eps_days)
+    )
+    days = days.withColumn("__nbrs", F.sum("__cnt").over(w_rng)).withColumn(
+        "__is_core", F.col("__nbrs") >= min_samples
+    )
+
+    # chain core days into segments: gap > eps starts a new segment
+    w_core = Window.partitionBy(cluster_col).orderBy("__day")
+    core = (
+        days.filter("__is_core")
+        .withColumn("__gap", F.col("__day") - F.lag("__day").over(w_core))
+        .withColumn(
+            "__new",
+            F.when(F.col("__gap").isNull() | (F.col("__gap") > eps_days), 1).otherwise(0),
+        )
+        .withColumn("segment", F.sum("__new").over(
+            w_core.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+        .select(cluster_col, F.col("__day").alias("__core_day"), "segment")
+    )
+
+    # attach every day to the nearest core day within eps (ties -> earlier)
+    attached = (
+        days.join(core, on=cluster_col)
+        .withColumn("__dist", F.abs(F.col("__day") - F.col("__core_day")))
+        .filter(F.col("__dist") <= eps_days)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy(cluster_col, "__day").orderBy(
+                    "__dist", "__core_day"
+                )
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .select(cluster_col, "__day", "segment")
+    )
+
+    return d.join(attached, [cluster_col, "__day"], "left").drop("__day")
+
+
+def keep_largest_segment(
+    df: DataFrame, cluster_col: str = "component", segment_col: str = "segment"
+) -> DataFrame:
+    """Drop noise rows and keep only the most-populated temporal segment
+    per cluster (reference ``create_silver_label.py:245-253``).
+    Ties -> smallest segment id (deterministic)."""
+    denoised = df.filter(F.col(segment_col).isNotNull())
+    sizes = denoised.groupBy(cluster_col, segment_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    best = sizes.withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy(cluster_col).orderBy(
+                F.col("__n").desc(), F.col(segment_col)
+            )
+        ),
+    ).filter(F.col("__rk") == 1).select(cluster_col, segment_col)
+    return denoised.join(best, [cluster_col, segment_col], "left_semi")
+
+
+def interval_merge_edges(
+    clustered: DataFrame,
+    cluster_col: str = "component",
+    date_col: str = "event_date",
+    max_gap_days: int = 10,
+) -> DataFrame:
+    """Cluster pairs whose date intervals are within ``max_gap_days``.
+
+    Pre-aggregates to (cluster, min_d, max_d) — tiny vs the row table —
+    then a non-equi self-join with the closed-form overlap test
+    equivalent to the reference's within/overlaps/distance branches
+    (``create_silver_label.py:368-377``):
+
+        a.min <= b.max + gap AND b.min <= a.max + gap
+
+    The small aggregate side is broadcast to avoid a shuffle.
+    """
+    spans = clustered.groupBy(cluster_col).agg(
+        F.min(date_col).alias("min_d"), F.max(date_col).alias("max_d")
+    )
+    a = spans.select(
+        F.col(cluster_col).alias("ca"),
+        F.col("min_d").alias("min_a"),
+        F.col("max_d").alias("max_a"),
+    )
+    b = spans.select(
+        F.col(cluster_col).alias("cb"),
+        F.col("min_d").alias("min_b"),
+        F.col("max_d").alias("max_b"),
+    )
+    cond = (
+        (F.col("ca") < F.col("cb"))
+        & (F.col("min_a") <= F.date_add(F.col("max_b"), max_gap_days))
+        & (F.col("min_b") <= F.date_add(F.col("max_a"), max_gap_days))
+    )
+    return a.join(F.broadcast(b), cond).select("ca", "cb")

@@ -1,0 +1,189 @@
+"""Pairwise verification of LSH candidates (SURVEY.md G2 decomposition).
+
+Three verify tiers, cheapest first:
+
+1. **Signature estimate** — fraction of agreeing MinHash slots, computed
+   from the already-joined signature arrays (no extra shuffle). Pairs
+   far below threshold are dropped before exact work.
+2. **Exact Jaccard** — ``array_intersect`` on the distinct-shingle
+   arrays, native exprs (J3). The reference's verify analogue is
+   all-pairs cosine >= t inside ``community_detection``
+   (``cluster_news.py:36-38``).
+3. **Suffix-array substring containment** — per-bucket grouped
+   ``applyInPandas``: catches short-transcript-contained-in-long dups
+   that Jaccard misses (north-rule requirement). Runs per LSH bucket
+   (bounded by max_bucket_size) so each group is small.
+
+Audio tier: Hamming distance on SimHash via native ``bit_count(a^b)``.
+
+Shuffle notes: candidates join the (id -> signature/shingles) table
+twice (for a/b sides). The signature table is projected to exactly the
+needed columns first so the payload (``bytes``) never moves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.minhash import estimated_jaccard, exact_jaccard
+
+
+def attach_pair_sides(
+    pairs: DataFrame, sides: DataFrame, cols: list[str], id_col: str = "clip_id"
+) -> DataFrame:
+    """pairs(id_a, id_b) x sides(id, cols...) -> pairs + cols_a + cols_b."""
+    a = sides.select(
+        F.col(id_col).alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in cols]
+    )
+    b = sides.select(
+        F.col(id_col).alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in cols]
+    )
+    return pairs.join(a, "id_a").join(b, "id_b")
+
+
+def verify_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    num_perm: int,
+    jaccard_threshold: float,
+    est_margin: float = 0.25,
+    id_col: str = "clip_id",
+    sig_col: str = "minhash_sig",
+    shingles_col: str = "shingles",
+) -> DataFrame:
+    """Candidates -> verified text pairs with exact Jaccard >= t.
+
+    Two-tier: signature-estimate prefilter (>= t - margin), then exact
+    Jaccard on shingle arrays. Returns (id_a, id_b, jaccard).
+    """
+    sides = docs.select(id_col, sig_col, shingles_col)
+    joined = attach_pair_sides(pairs, sides, [sig_col, shingles_col], id_col)
+    est = estimated_jaccard(F.col(f"{sig_col}_a"), F.col(f"{sig_col}_b"), num_perm)
+    prefiltered = joined.withColumn("__est", est).filter(
+        F.col("__est") >= F.lit(max(0.0, jaccard_threshold - est_margin))
+    )
+    exact = exact_jaccard(F.col(f"{shingles_col}_a"), F.col(f"{shingles_col}_b"))
+    return (
+        prefiltered.withColumn("jaccard", exact)
+        .filter(F.col("jaccard") >= F.lit(jaccard_threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def verify_hamming(
+    pairs: DataFrame,
+    docs: DataFrame,
+    hamming_threshold: int,
+    id_col: str = "clip_id",
+    sim_col: str = "audio_simhash",
+) -> DataFrame:
+    """Audio candidates -> pairs with SimHash Hamming distance <= h."""
+    sides = docs.select(id_col, sim_col)
+    joined = attach_pair_sides(pairs, sides, [sim_col], id_col)
+    dist = F.bit_count(
+        F.col(f"{sim_col}_a").bitwiseXOR(F.col(f"{sim_col}_b"))
+    )
+    return (
+        joined.withColumn("hamming", dist)
+        .filter(F.col("hamming") <= F.lit(hamming_threshold))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+_CONTAIN_SCHEMA = "id_a string, id_b string, contained int"
+
+
+def _suffix_array(s: str) -> list[int]:
+    """Plain suffix array (sorted suffix start offsets).
+
+    O(n log² n) via key slicing — fine for bucket-bounded groups; the
+    point is the *distribution* (one array per bucket, never global).
+    """
+    return sorted(range(len(s)), key=lambda i: s[i:])
+
+
+def _contained_pairs_in_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Within one LSH bucket: find (short ⊂ long) containment pairs.
+
+    Builds a suffix array over the '\\x00'-joined corpus of the bucket,
+    then for each document binary-searches its full text; a hit whose
+    offset lies inside a *different* document is a containment dup.
+    """
+    ids = pdf["clip_id"].tolist()
+    texts = pdf["text"].tolist()
+    n = len(ids)
+    if n < 2:
+        return pd.DataFrame(columns=["id_a", "id_b", "contained"]).astype(
+            {"id_a": str, "id_b": str, "contained": int}
+        )
+    sep = "\x00"
+    corpus = sep.join(texts)
+    # offset -> document index
+    doc_starts = np.zeros(n, dtype=np.int64)
+    pos = 0
+    for i, t in enumerate(texts):
+        doc_starts[i] = pos
+        pos += len(t) + 1
+    sa = _suffix_array(corpus)
+    out = set()
+    import bisect
+
+    def doc_of(off: int) -> int:
+        return int(np.searchsorted(doc_starts, off, side="right") - 1)
+
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        # binary search the suffix array for suffixes starting with t
+        lo, hi = 0, len(sa)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if corpus[sa[mid] : sa[mid] + len(t)] < t:
+                lo = mid + 1
+            else:
+                hi = mid
+        j = lo
+        while j < len(sa) and corpus[sa[j] : sa[j] + len(t)] == t:
+            d = doc_of(sa[j])
+            if d != i:
+                pair = (ids[i], ids[d]) if ids[i] < ids[d] else (ids[d], ids[i])
+                out.add(pair)
+            j += 1
+    rows = [{"id_a": a, "id_b": b, "contained": 1} for a, b in sorted(out)]
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "contained"])
+
+
+def containment_pairs(
+    banded: DataFrame,
+    docs: DataFrame,
+    max_bucket_size: int,
+    id_col: str = "clip_id",
+    text_col: str = "transcript_norm",
+) -> DataFrame:
+    """Suffix-array containment verify, grouped per LSH bucket.
+
+    Input ``banded`` = (clip_id, band_id, band_hash). Buckets above
+    max_bucket_size are skipped (same cap as candidate generation).
+    Returns distinct (id_a, id_b, contained=1).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_hash")
+    sized = banded.withColumn("__n", F.count(F.lit(1)).over(w)).filter(
+        (F.col("__n") > 1) & (F.col("__n") <= max_bucket_size)
+    )
+    with_text = sized.join(
+        docs.select(F.col(id_col).alias("clip_id"), F.col(text_col).alias("text")),
+        "clip_id",
+    )
+    found = (
+        with_text.select("band_id", "band_hash", "clip_id", "text")
+        .groupBy("band_id", "band_hash")
+        .applyInPandas(
+            lambda _key, pdf: _contained_pairs_in_group(pdf), _CONTAIN_SCHEMA
+        )
+    )
+    return found.groupBy("id_a", "id_b").agg(F.max("contained").alias("contained"))

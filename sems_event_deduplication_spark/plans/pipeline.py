@@ -1,0 +1,180 @@
+"""End-to-end dedup pipeline (SURVEY.md §3.1 new-engine lifecycle).
+
+    read audio_clips
+      -> normalize (native exprs)                [stage: normalized]
+      -> exact dedup on content digests          [stage: exact_dedup]
+      -> MinHash + SimHash signatures (Arrow)    [stage: signatures]
+      -> LSH candidates (text + audio)           [stage: candidates]
+      -> verify (Jaccard / Hamming / suffix-SA)  [stage: verified_pairs]
+      -> connected components (star/star)        [stage: components]
+      -> clusters + survivors + metrics          [stages: clusters, survivors]
+
+Every stage checkpoints through WarehouseIO (resume = skip committed
+stages, the reference's exists-check pattern at
+``create_silver_label.py:224``). The binary payload is dropped right
+after signature computation and re-joined only for the survivor
+output, so ``bytes`` never rides a shuffle (SURVEY.md §7 hard part d).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..conf import DedupConfig
+from ..functions import audio as A
+from ..functions import minhash as M
+from ..functions import text as X
+from ..operators import lsh, verify
+from ..operators.components import assign_components, connected_components
+from ..operators.exact_dedup import exact_dedup_with_edges
+from ..operators.survivors import cluster_summary, select_survivors
+from ..sources.warehouse import WarehouseIO
+
+
+@dataclass
+class StageMetric:
+    stage: str
+    rows_out: int
+    seconds: float
+
+
+@dataclass
+class PipelineResult:
+    clusters: DataFrame
+    survivors: DataFrame
+    verified_pairs: DataFrame
+    metrics: list[StageMetric] = field(default_factory=list)
+
+    def metrics_dict(self) -> dict:
+        return {m.stage: {"rows": m.rows_out, "sec": round(m.seconds, 3)} for m in self.metrics}
+
+
+class DedupPipeline:
+    def __init__(self, spark: SparkSession, cfg: DedupConfig, warehouse: WarehouseIO):
+        self.spark = spark
+        self.cfg = cfg
+        self.wh = warehouse
+
+    def _stage(self, df: DataFrame, name: str, resume: bool, metrics: list[StageMetric]) -> DataFrame:
+        t0 = time.monotonic()
+        out = self.wh.checkpoint(df, name, resume=resume)
+        n = out.count()
+        metrics.append(StageMetric(name, n, time.monotonic() - t0))
+        return out
+
+    def run(self, clips: DataFrame, resume: bool = False, with_audio: bool = True) -> PipelineResult:
+        cfg = self.cfg
+        metrics: list[StageMetric] = []
+
+        # ---- normalize (native exprs only) -------------------------------
+        normalized = clips.select(
+            "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript",
+            X.normalize_text(F.col("transcript")).alias("transcript_norm"),
+        )
+        normalized = self._stage(normalized, "normalized", resume, metrics)
+
+        # ---- exact dedup on content digests ------------------------------
+        exact, exact_edges = exact_dedup_with_edges(
+            normalized, text_col="transcript_norm",
+            payload_col="bytes" if with_audio else None, order_col="clip_id",
+        )
+        exact = self._stage(exact, "exact_dedup", resume, metrics)
+        exact_edges = self._stage(exact_edges, "exact_edges", resume, metrics)
+
+        # ---- signatures (payload dropped after this stage) ----------------
+        shingled = exact.withColumn(
+            "shingles", X.char_shingles(F.col("transcript_norm"), cfg.shingle_k)
+        ).withColumn("shingle_hashes", M.shingle_hashes(F.col("shingles")))
+        mh = M.make_minhash_udf(cfg.num_perm, cfg.seed)
+        sigs = shingled.withColumn("minhash_sig", mh(F.col("shingle_hashes"))).withColumn(
+            "bands", M.band_hashes(F.col("minhash_sig"), cfg.bands, cfg.rows_per_band)
+        )
+        if with_audio:
+            ash = A.make_audio_simhash_udf(
+                cfg.fft_frame, cfg.fft_hop, cfg.n_mel_bands, cfg.simhash_bits, cfg.seed
+            )
+            sigs = sigs.withColumn("audio_simhash", ash(F.col("bytes"), F.col("codec"))).withColumn(
+                "audio_bands", A.simhash_bands(F.col("audio_simhash"), cfg.simhash_bands, cfg.simhash_bits)
+            )
+        keep = ["clip_id", "transcript_norm", "shingles", "minhash_sig", "bands"]
+        if with_audio:
+            keep += ["audio_simhash", "audio_bands"]
+        sigs = self._stage(sigs.select(*keep), "signatures", resume, metrics)
+
+        # ---- LSH candidates ------------------------------------------------
+        banded_text = lsh.explode_bands(sigs, "clip_id", "bands")
+        cand_text = lsh.candidate_pairs(banded_text, cfg.max_bucket_size)
+        cand_text = self._stage(cand_text, "candidates_text", resume, metrics)
+
+        if with_audio:
+            banded_audio = lsh.explode_bands(sigs, "clip_id", "audio_bands")
+            cand_audio = lsh.candidate_pairs(banded_audio, cfg.max_bucket_size)
+            cand_audio = self._stage(cand_audio, "candidates_audio", resume, metrics)
+
+        # ---- verify --------------------------------------------------------
+        pairs_text = verify.verify_jaccard(
+            lsh.salted(cand_text, "id_a", cfg.salt_buckets).repartition(
+                cfg.shuffle_partitions, "__salt"
+            ).drop("__salt"),
+            sigs, cfg.num_perm, cfg.jaccard_threshold, cfg.est_margin,
+        ).withColumn("kind", F.lit("text"))
+
+        contain = verify.containment_pairs(
+            banded_text, sigs, cfg.max_bucket_size
+        ).select("id_a", "id_b", F.lit(1.0).alias("jaccard")).withColumn(
+            "kind", F.lit("containment")
+        )
+        verified = pairs_text.unionByName(contain)
+
+        if with_audio:
+            pairs_audio = verify.verify_hamming(
+                cand_audio, sigs, cfg.hamming_threshold
+            ).select(
+                "id_a", "id_b", F.lit(None).cast("double").alias("jaccard"),
+                F.lit("audio").alias("kind"),
+            )
+            verified = verified.unionByName(pairs_audio)
+
+        verified = verified.groupBy("id_a", "id_b").agg(
+            F.max("jaccard").alias("jaccard"),
+            F.sort_array(F.collect_set("kind")).alias("kinds"),
+        )
+        verified = self._stage(verified, "verified_pairs", resume, metrics)
+
+        # ---- connected components -----------------------------------------
+        all_edges = verified.select("id_a", "id_b").unionByName(
+            exact_edges.select("id_a", "id_b")
+        )
+        comp = connected_components(all_edges, "id_a", "id_b", cfg.cc_max_iterations)
+        clustered = assign_components(
+            normalized.select("clip_id", "transcript_norm"), comp
+        )
+        clustered = self._stage(clustered, "components", resume, metrics)
+
+        # ---- outputs --------------------------------------------------------
+        survivors = select_survivors(clustered).join(
+            clips.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"),
+            "clip_id",
+        )
+        survivors = self._stage(survivors, "survivors", resume, metrics)
+        clusters = cluster_summary(clustered)
+        clusters = self._stage(clusters, "clusters", resume, metrics)
+
+        return PipelineResult(
+            clusters=clusters, survivors=survivors, verified_pairs=verified,
+            metrics=metrics,
+        )
+
+    def throughput(self, result: PipelineResult, n_clips: int) -> dict:
+        total = sum(m.seconds for m in result.metrics)
+        return {
+            "n_clips": n_clips,
+            "total_sec": round(total, 3),
+            "clips_per_sec": round(n_clips / total, 2) if total > 0 else None,
+            "stages": result.metrics_dict(),
+        }

@@ -1,0 +1,46 @@
+"""SparkSession factory with the configs the pipeline relies on.
+
+AQE (runtime re-plan + skew-join splitting) and Arrow (vectorized UDF
+transfer) are required by the design (SURVEY.md §4); UTC timezone pins
+timestamp semantics to match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sems-dedup-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a local SparkSession tuned for this engine.
+
+    ``cores=None`` -> ``local[*]``. On a real cluster the same conf keys
+    apply; only ``master`` changes (spark-submit supplies it).
+    """
+    cores_str = "*" if cores is None else str(cores)
+    n_shuffle = shuffle_partitions or (cores if cores else os.cpu_count() or 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores_str}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

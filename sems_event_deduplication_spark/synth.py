@@ -1,0 +1,138 @@
+"""Deterministic synthetic audio_clips corpus (FIXTURES.md §1).
+
+Seeded generator for the BASELINE.json input table shape::
+
+    clip_id:string, bytes:binary, sr_hz:int32, dur_ms:int32,
+    codec:string, transcript:string  (+ event_date, + sidecar group_id)
+
+Planted duplicate kinds (FIXTURES.md §1):
+  exact        identical transcript + identical bytes
+  near_text    case/punct edits, "| Site" boilerplate suffix, word swap
+  containment  transcript is a contiguous prefix of the source's
+  near_audio   same signal, amplitude-scaled + noise at >= ~35 dB SNR,
+               possibly re-encoded pcm_s16le <-> pcm_f32le
+  distractor   same vocabulary, different event (precision check)
+
+``group_id`` is ground truth for tests only — the pipeline never reads
+it. Transcript style mirrors the reference's news titles (out.txt).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+EVENTS = [
+    "typhoon mawar", "cyclone eloise", "storm freddy", "hurricane otis",
+    "flood warning", "earthquake tremor", "wildfire front", "tropical storm biparjoy",
+    "monsoon surge", "tornado outbreak", "landslide alert", "volcanic ash cloud",
+]
+PLACES = [
+    "guam", "mozambique", "malawi", "acapulco", "queensland", "luzon",
+    "gujarat", "okinawa", "sichuan", "valparaiso", "andalusia", "hokkaido",
+]
+VERBS = [
+    "slams into", "makes landfall near", "intensifies off", "displaces thousands in",
+    "cuts power across", "floods districts of", "triggers evacuations in",
+    "weakens after striking", "leaves damage across", "approaches the coast of",
+]
+TAILS = [
+    "residents urged to shelter", "rescue teams deployed overnight",
+    "authorities issue red alert", "damage assessment under way",
+    "relief supplies arriving", "schools closed until further notice",
+]
+BOILER = ["Global Disaster News", "Live Updates - Channel 7", "The Daily Storm Report"]
+
+AUDIO_CLIPS_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType(), False),
+    T.StructField("bytes", T.BinaryType(), True),
+    T.StructField("sr_hz", T.IntegerType(), True),
+    T.StructField("dur_ms", T.IntegerType(), True),
+    T.StructField("codec", T.StringType(), True),
+    T.StructField("transcript", T.StringType(), True),
+    T.StructField("event_date", T.DateType(), True),
+    T.StructField("group_id", T.StringType(), True),  # sidecar ground truth
+])
+
+
+def _encode(pcm: np.ndarray, codec: str) -> bytes:
+    if codec == "pcm_s16le":
+        return (np.clip(pcm, -1, 1) * 32767.0).astype("<i2").tobytes()
+    if codec == "pcm_f32le":
+        return pcm.astype("<f4").tobytes()
+    raise ValueError(codec)
+
+
+def _tone(rng: np.random.Generator, sr: int, dur_s: float) -> np.ndarray:
+    t = np.arange(int(sr * dur_s)) / sr
+    freqs = rng.uniform(120, 2200, size=3)
+    amps = rng.uniform(0.1, 0.35, size=3)
+    sig = sum(a * np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi)) for f, a in zip(freqs, amps))
+    return sig.astype(np.float64)
+
+
+def _add_noise(pcm: np.ndarray, rng: np.random.Generator, snr_db: float) -> np.ndarray:
+    p_sig = float(np.mean(pcm**2))
+    p_noise = p_sig / (10 ** (snr_db / 10))
+    return pcm + rng.standard_normal(len(pcm)) * np.sqrt(p_noise)
+
+
+def _transcript(rng: np.random.Generator) -> str:
+    return " ".join([
+        rng.choice(EVENTS), rng.choice(VERBS), rng.choice(PLACES),
+        "as", rng.choice(TAILS),
+    ])
+
+
+def make_corpus_pdf(n_base: int = 500, seed: int = 42) -> pd.DataFrame:
+    """Deterministic corpus as pandas; ~35% of base rows grow duplicates."""
+    rng = np.random.default_rng(seed)
+    rows: list[dict] = []
+    base_date = np.datetime64("2023-05-01")
+
+    def add(gid, pcm, sr, codec, transcript, date, suffix):
+        rows.append({
+            "clip_id": f"c{gid:06d}_{suffix}",
+            "bytes": _encode(pcm, codec),
+            "sr_hz": int(sr),
+            "dur_ms": int(1000 * len(pcm) / sr),
+            "codec": codec,
+            "transcript": transcript,
+            "event_date": pd.Timestamp(date).date(),
+            "group_id": f"g{gid:06d}",
+        })
+
+    for i in range(n_base):
+        sr = int(rng.choice([8000, 16000]))
+        dur = float(rng.uniform(0.25, 0.9))
+        pcm = _tone(rng, sr, dur)
+        codec = str(rng.choice(["pcm_s16le", "pcm_f32le"]))
+        text = _transcript(rng)
+        date = base_date + int(rng.integers(0, 60))
+        add(i, pcm, sr, codec, text, date, "base")
+
+        r = rng.uniform()
+        if r < 0.10:  # exact dup
+            add(i, pcm, sr, codec, text, date, "exact")
+        elif r < 0.20:  # near-text dup (normalizes to identical)
+            variant = text.upper() + "!!" if rng.uniform() < 0.5 else text + " | " + str(rng.choice(BOILER))
+            add(i, pcm, sr, codec, variant, date + int(rng.integers(0, 2)), "neartxt")
+        elif r < 0.27:  # containment: a long elaboration containing the base
+            longer = text + " with " + " ".join(rng.choice(TAILS, size=2))
+            add(i, pcm, sr, codec, longer, date, "contain")
+        elif r < 0.35:  # near-audio dup: scaled + noisy, maybe re-encoded
+            jitter = _add_noise(pcm * rng.uniform(0.6, 1.2), rng, snr_db=float(rng.uniform(34, 45)))
+            codec2 = "pcm_f32le" if rng.uniform() < 0.5 else codec
+            other_text = _transcript(rng)
+            add(i, jitter, sr, codec2, other_text, date, "nearaud")
+
+    pdf = pd.DataFrame(rows)
+    # shuffle deterministically: permutation invariance is a tested property
+    return pdf.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+
+
+def make_corpus(spark: SparkSession, n_base: int = 500, seed: int = 42) -> DataFrame:
+    pdf = make_corpus_pdf(n_base, seed)
+    return spark.createDataFrame(pdf, schema=AUDIO_CLIPS_SCHEMA)
