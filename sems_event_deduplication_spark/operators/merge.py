@@ -93,8 +93,9 @@ def merge_clusters(
 
     comp = connected_components(
         edges, src="ca", dst="cb", max_iterations=cc_max_iterations
-    ).withColumnRenamed("clip_id", cluster_col).withColumnRenamed(
-        "component", "merged_component"
+    ).select(
+        F.col("clip_id").alias(cluster_col),
+        F.col("component").alias("merged_component"),
     )
     return clustered.join(F.broadcast(comp), cluster_col, "left").withColumn(
         "merged_component",

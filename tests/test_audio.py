@@ -1,0 +1,109 @@
+"""Audio path: decode, SNR, SimHash stability (SURVEY.md §5 test 1)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from sems_event_deduplication_spark.conf import DedupConfig
+from sems_event_deduplication_spark.functions.audio import (
+    decode_pcm,
+    hamming_distance,
+    make_audio_simhash_udf,
+    make_snr_udf,
+    simhash_bands,
+    snr_db,
+)
+from sems_event_deduplication_spark.synth import _add_noise, _encode, _tone
+
+CFG = DedupConfig()
+
+
+def _rng():
+    return np.random.default_rng(123)
+
+
+def test_decode_roundtrip_s16le():
+    pcm = _tone(_rng(), 8000, 0.3)
+    buf = _encode(pcm, "pcm_s16le")
+    back = decode_pcm(buf, "pcm_s16le")
+    assert len(back) == len(pcm)
+    assert snr_db(pcm, back) > 60  # 16-bit quantization noise only
+
+
+def test_decode_roundtrip_f32le():
+    pcm = _tone(_rng(), 16000, 0.2)
+    back = decode_pcm(_encode(pcm, "pcm_f32le"), "pcm_f32le")
+    assert snr_db(pcm, back) > 120
+
+
+def test_snr_db_basics():
+    sig = _tone(_rng(), 8000, 0.2)
+    assert snr_db(sig, sig) == float("inf")
+    noisy = _add_noise(sig, _rng(), snr_db=30)
+    got = snr_db(sig, noisy)
+    assert 27 < got < 33
+
+
+def _simhash_of(spark, payloads):
+    pdf = pd.DataFrame(payloads, columns=["id", "buf", "codec"])
+    df = spark.createDataFrame(pdf)
+    udf = make_audio_simhash_udf(
+        CFG.fft_frame, CFG.fft_hop, CFG.n_mel_bands, CFG.simhash_bits, CFG.seed
+    )
+    return {r["id"]: r["s"] for r in df.select("id", udf("buf", "codec").alias("s")).collect()}
+
+
+def test_simhash_invariances(spark):
+    rng = _rng()
+    pcm = _tone(rng, 16000, 0.5)
+    noisy = _add_noise(pcm, rng, snr_db=35)
+    scaled = pcm * 0.5
+    other = _tone(np.random.default_rng(999), 16000, 0.5)
+    sigs = _simhash_of(
+        spark,
+        [
+            ("base_s16", _encode(pcm, "pcm_s16le"), "pcm_s16le"),
+            ("base_f32", _encode(pcm, "pcm_f32le"), "pcm_f32le"),
+            ("noisy", _encode(noisy, "pcm_s16le"), "pcm_s16le"),
+            ("scaled", _encode(scaled, "pcm_s16le"), "pcm_s16le"),
+            ("other", _encode(other, "pcm_s16le"), "pcm_s16le"),
+        ],
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sigs["base_s16"], sigs["base_f32"]) <= 2   # re-encode
+    assert ham(sigs["base_s16"], sigs["noisy"]) <= CFG.hamming_threshold
+    assert ham(sigs["base_s16"], sigs["scaled"]) <= 2     # amplitude-invariant
+    assert ham(sigs["base_s16"], sigs["other"]) > CFG.hamming_threshold
+
+
+def test_hamming_expr_and_bands(spark):
+    df = spark.createDataFrame(pd.DataFrame({"a": [0b1011], "b": [0b0010]}))
+    got = df.select(hamming_distance(F.col("a"), F.col("b")).alias("h")).collect()[0]["h"]
+    assert got == 2
+    bands = df.select(simhash_bands(F.col("a"), 8).alias("bb")).collect()[0]["bb"]
+    assert len(bands) == 8
+
+
+def test_pair_snr_udf(spark):
+    pcm = _tone(_rng(), 8000, 0.25)
+    noisy = _add_noise(pcm, _rng(), snr_db=40)
+    pdf = pd.DataFrame(
+        {
+            "ba": [_encode(pcm, "pcm_s16le")],
+            "ca": ["pcm_s16le"],
+            "bb": [_encode(noisy, "pcm_f32le")],
+            "cb": ["pcm_f32le"],
+        }
+    )
+    udf = make_snr_udf()
+    got = (
+        spark.createDataFrame(pdf)
+        .select(udf("ba", "ca", "bb", "cb").alias("snr"))
+        .collect()[0]["snr"]
+    )
+    assert 35 < got < 45

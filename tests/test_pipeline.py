@@ -1,0 +1,108 @@
+"""End-to-end oracle test (SURVEY.md §5 tests 2-4, FIXTURES.md §5).
+
+Dup-pair recall >= 0.99 vs the reference decision semantics, per-row
+payload invariants, permutation invariance, resume idempotence.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from sems_event_deduplication_spark.conf import DedupConfig
+from sems_event_deduplication_spark.plans.pipeline import DedupPipeline
+from sems_event_deduplication_spark.sources.warehouse import WarehouseIO
+from sems_event_deduplication_spark.synth import AUDIO_CLIPS_SCHEMA, make_corpus_pdf
+from oracle_utils import intra_pairs, oracle_components
+
+CFG = DedupConfig()
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus, corpus_pdf):
+    wh = WarehouseIO(spark, tempfile.mkdtemp(prefix="wh_e2e_"))
+    res = DedupPipeline(spark, CFG, wh).run(corpus, with_audio=True)
+    pred = {
+        m: r["component"]
+        for r in res.clusters.collect()
+        for m in r["member_ids"]
+    }
+    oracle = oracle_components(corpus_pdf, CFG, with_audio=True)
+    return res, pred, oracle
+
+
+def test_recall_and_precision_vs_oracle(result):
+    _, pred, oracle = result
+    op, pp = intra_pairs(oracle), intra_pairs(pred)
+    assert op, "oracle found no dup pairs — fixture broken"
+    recall = len(op & pp) / len(op)
+    precision = len(op & pp) / len(pp) if pp else 1.0
+    assert recall >= 0.99, f"recall {recall:.4f} < 0.99"
+    assert precision >= 0.90, f"precision {precision:.4f}"
+
+
+def test_every_input_row_assigned(result, corpus_pdf):
+    _, pred, _ = result
+    assert set(pred) == set(corpus_pdf["clip_id"])
+
+
+def test_survivor_payload_invariant(result, spark, corpus):
+    """BASELINE.json per-row invariant: survivors carry their source
+    payload unmodified — transcript byte-equality + identical bytes
+    (SNR is trivially inf for byte-identical PCM)."""
+    res, _, _ = result
+    joined = res.survivors.alias("o").join(
+        corpus.alias("i"), F.col("o.clip_id") == F.col("i.clip_id")
+    )
+    bad = joined.filter(
+        (F.col("o.transcript") != F.col("i.transcript"))
+        | (F.sha2(F.col("o.bytes"), 256) != F.sha2(F.col("i.bytes"), 256))
+    ).count()
+    assert bad == 0
+
+
+def test_survivor_is_min_member(result):
+    res, _, _ = result
+    bad = res.clusters.filter(
+        F.col("survivor_id") != F.array_min("member_ids")
+    ).count()
+    assert bad == 0
+
+
+def test_permutation_invariance(spark, corpus_pdf):
+    """Shuffled input order -> identical cluster partition (FIXTURES.md §5)."""
+    shuffled = corpus_pdf.sample(frac=1.0, random_state=777).reset_index(drop=True)
+    df = spark.createDataFrame(shuffled, schema=AUDIO_CLIPS_SCHEMA)
+    wh = WarehouseIO(spark, tempfile.mkdtemp(prefix="wh_perm_"))
+    res = DedupPipeline(spark, CFG, wh).run(df, with_audio=True)
+    got = {
+        frozenset(r["member_ids"]) for r in res.clusters.collect()
+    }
+    wh2 = WarehouseIO(spark, tempfile.mkdtemp(prefix="wh_perm2_"))
+    df2 = spark.createDataFrame(corpus_pdf, schema=AUDIO_CLIPS_SCHEMA)
+    res2 = DedupPipeline(spark, CFG, wh2).run(df2, with_audio=True)
+    want = {frozenset(r["member_ids"]) for r in res2.clusters.collect()}
+    assert got == want
+
+
+def test_resume_idempotent(spark, corpus):
+    wh = WarehouseIO(spark, tempfile.mkdtemp(prefix="wh_res_"))
+    pipe = DedupPipeline(spark, CFG, wh)
+    r1 = pipe.run(corpus, with_audio=True)
+    want = {frozenset(r["member_ids"]) for r in r1.clusters.collect()}
+    # simulate a crash after the signatures stage: later tables vanish
+    for stage in ("candidates_text", "candidates_audio", "verified_pairs",
+                  "components", "survivors", "clusters"):
+        wh.drop(stage)
+    r2 = pipe.run(corpus, resume=True, with_audio=True)
+    got = {frozenset(r["member_ids"]) for r in r2.clusters.collect()}
+    assert got == want
+
+
+def test_metrics_emitted(result, corpus_pdf):
+    res, _, _ = result
+    stages = {m.stage for m in res.metrics}
+    assert {"normalized", "signatures", "verified_pairs", "components"} <= stages
+    assert all(m.seconds >= 0 for m in res.metrics)
