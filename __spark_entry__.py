@@ -1,38 +1,659 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Maps the engine's operator inventory (SURVEY.md §2) onto the driver's
+tables. Every ``queries()`` entry with an ``oracle_sql()`` twin is
+checked Spark-vs-DuckDB at sf=0.01 (row count + schema + order-
+insensitive value hash); entries without an oracle (custom pandas-UDF
+pipeline, streaming) get a rows-only check.
+
+Float discipline: divisions are single ops (identical IEEE in both
+engines) rounded to 6 dp; money aggregates are summed as DECIMAL
+(exact, order-independent) then cast to double; top-k queries order by
+(rounded value, id) so the selected set is engine-independent.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sems_event_deduplication_spark.functions import text as X
+from sems_event_deduplication_spark.functions.text import char_shingles, normalize_text
+
+K = 9  # shingle size used by the SQL-checkable queries
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: text near-dup clustering over sf0.001 documents.
+
+    normalize -> shingles -> MinHash (Arrow UDF) -> LSH bands ->
+    candidates -> exact-Jaccard verify -> connected components ->
+    cluster summary. (SURVEY.md §3.1 lifecycle, text path.)
+    """
+    from sems_event_deduplication_spark.conf import DedupConfig
+    from sems_event_deduplication_spark.functions.minhash import (
+        band_hashes, make_minhash_udf, shingle_hashes,
+    )
+    from sems_event_deduplication_spark.operators.components import (
+        assign_components, connected_components,
+    )
+    from sems_event_deduplication_spark.operators.lsh import (
+        candidate_pairs, explode_bands,
+    )
+    from sems_event_deduplication_spark.operators.verify import verify_jaccard
+
+    cfg = DedupConfig(jaccard_threshold=0.5)
+    docs = _t(spark, "/root/testdata/sf0.001", "documents").select(
+        F.col("doc_id").cast("string").alias("clip_id"),
+        normalize_text(F.col("text"), strip_boilerplate=False).alias("transcript_norm"),
+    )
+    mh = make_minhash_udf(cfg.num_perm, cfg.seed)
+    sigs = (
+        docs.withColumn("shingles", char_shingles(F.col("transcript_norm"), cfg.shingle_k))
+        .withColumn("minhash_sig", mh(shingle_hashes(F.col("shingles"))))
+        .withColumn("bands", band_hashes(F.col("minhash_sig"), cfg.bands, cfg.rows_per_band))
+    )
+    cands = candidate_pairs(explode_bands(sigs, "clip_id", "bands"), cfg.max_bucket_size)
+    verified = verify_jaccard(cands, sigs, cfg.num_perm, cfg.jaccard_threshold, cfg.est_margin)
+    comp = connected_components(verified, "id_a", "id_b", cfg.cc_max_iterations)
+    clustered = assign_components(sigs.select("clip_id"), comp)
+    return clustered.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("clip_id").alias("survivor_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL-checkable queries (operator inventory -> driver tables)
+# --------------------------------------------------------------------------
+
+def q_exact_dedup_keeplast(spark, sf_dir):
+    """D1/W1: keep-last exact dedup, keyed on a 16-char text prefix."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.substring("text", 1, 16)).orderBy(F.col("doc_id").desc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_chars")
+    )
+
+
+def q_normalize_remove_stick(spark, sf_dir):
+    """P2/P3/F12: normalization incl. longest-|-part boilerplate strip."""
+    d = _t(spark, sf_dir, "documents")
+    stick = F.concat(F.col("text"), F.lit(" | Breaking, News!"))
+    return d.select("doc_id", X.normalize_text(stick).alias("norm_text"))
+
+
+def q_shingle_count(spark, sf_dir):
+    """X6/G1 prep: distinct char-9-shingles per document."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(char_shingles(F.col("text"), K)).cast("long").alias("n_shingles"),
+    )
+
+
+def q_minhash_md5_signature(spark, sf_dir):
+    """G1a in SQL-checkable form: 4 MinHash slots via md5 salt-prefix.
+
+    slot_p = min over shingles of md5('p:' || shingle) — a real MinHash
+    (md5 as the permutation), computable identically in DuckDB.
+    """
+    d = _t(spark, sf_dir, "documents")
+    sh = char_shingles(F.col("text"), K)
+
+    def slot(p: int):
+        # NB: a 2-arg lambda in F.transform means (element, index) — a
+        # closure factory keeps the salt a plan-time literal.
+        prefix = F.lit(f"{p}:")
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(prefix, s)))
+        ).alias(f"slot_{p}")
+
+    return d.select("doc_id", *[slot(p) for p in range(4)])
+
+
+def q_jaccard_pairs_topk(spark, sf_dir):
+    """J1/J3: exact shingle-Jaccard, top-20 pairs among doc_id < 60."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    ex = d.select(
+        "doc_id", F.explode(char_shingles(F.col("text"), K)).alias("sh")
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ex.select(F.col("doc_id").alias("id_a"), "sh")
+    b = ex.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6),
+        )
+        .select("id_a", "id_b", "jaccard")
+        .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+def q_lang_source_counts(spark, sf_dir):
+    """P4/A5: language filter + grouped counts."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("lang") != "zh")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_mode_event_type_per_user(spark, sf_dir):
+    """A3/W5: majority event type per user (ties -> lexicographic min)."""
+    e = _t(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event_type"), "n")
+    )
+
+
+def q_session_count_per_user(spark, sf_dir):
+    """W2/G4 analogue: sessionization by 30-min gap, sessions per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return flagged.groupBy("user_id").agg(F.sum("new_s").alias("n_sessions"))
+
+
+def q_orders_within_week(spark, sf_dir):
+    """J2: non-equi self range-join — same-customer orders <= 7 days apart."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    a = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("k_a"),
+        F.col("o_orderdate").alias("d_a"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("k_b"),
+        F.col("o_orderdate").alias("d_b"),
+    )
+    return (
+        a.join(b, "custkey")
+        .filter(
+            (F.col("k_a") < F.col("k_b"))
+            & (F.abs(F.datediff(F.col("d_a"), F.col("d_b"))) <= 7)
+        )
+        .select("custkey", "k_a", "k_b")
+    )
+
+
+def q_date_coverage(spark, sf_dir):
+    """A13/F7: per-priority distinct days covered by [date, date+3]."""
+    o = _t(spark, sf_dir, "orders")
+    days = o.select(
+        "o_orderpriority",
+        F.explode(
+            F.sequence(
+                F.to_date("o_orderdate"),
+                F.date_add(F.to_date("o_orderdate"), 3),
+            )
+        ).alias("day"),
+    )
+    return days.groupBy("o_orderpriority").agg(
+        F.countDistinct("day").alias("n_days")
+    )
+
+
+def q_lineitem_agg(spark, sf_dir):
+    """A-generic (TPC-H Q1 shape) with exact decimal sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,6)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_order_per_cust(spark, sf_dir):
+    """W5: top-1 per group (max totalprice order per customer)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey")
+    )
+
+
+def q_revenue_by_segment(spark, sf_dir):
+    """J-generic: 3-way join + decimal revenue per market segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,6)")
+            ).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q_embedding_cosine_topk(spark, sf_dir):
+    """Similarity search: brute-force cosine top-10 vs vec_id=0."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos = dot(F.col("embedding"), F.col("qv")) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        j.select("vec_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def q_embedding_sign_bits(spark, sf_dir):
+    """G1b analogue: 32-bit sign signature over the first 32 dims."""
+    e = _t(spark, sf_dir, "embeddings")
+    bits = None
+    for i in range(32):
+        term = F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bits = term if bits is None else (bits + term)
+    return e.select("vec_id", bits.cast("long").alias("sig32"))
+
+
+def q_text_quality(spark, sf_dir):
+    """Training-pipeline op: token counts + stopword ratio + bucket."""
+    d = _t(spark, sf_dir, "documents")
+    words = X.word_tokens(F.col("text"))
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+    ratio = F.round(n_stop.cast("double") / n_words, 6)
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        ratio.alias("stopword_ratio"),
+        F.when(n_words >= 60, "long").when(n_words >= 30, "medium").otherwise("short").alias("len_bucket"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of whitespace-collapsed lowercase text."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    return d.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def q_user_activity_buckets(spark, sf_dir):
+    """A9: bucket users by event count (large/medium/small)."""
+    e = _t(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return cnt.select(
+        "user_id",
+        "n_events",
+        F.when(F.col("n_events") > 80, "large")
+        .when(F.col("n_events") >= 60, "medium")
+        .otherwise("small")
+        .alias("bucket"),
+    )
+
+
+def q_keep_last_event_per_user(spark, sf_dir):
+    """W1 on events: latest event per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id")
+    )
+
+
+def q_source_entity_overlap(spark, sf_dir):
+    """A1/A6/J3: per-source frequent words (>4 mentions), pairwise
+    overlap |A∩B| / max(|A|,|B|) >= 0.5 (reference max-denominator)."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "source", F.explode(X.word_tokens(F.col("text"))).alias("w")
+    ).filter(F.length("w") >= 5)
+    freq = (
+        words.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 4)
+    )
+    sizes = freq.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = freq.select(F.col("source").alias("src_a"), "w")
+    b = freq.select(F.col("source").alias("src_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "src_a").join(nb, "src_b")
+        .withColumn("overlap", F.round(F.col("n_inter") / F.greatest("na", "nb"), 6))
+        .filter(F.col("overlap") >= 0.5)
+        .select("src_a", "src_b", "overlap")
+    )
+
+
+# --------------------------------------------------------------------------
+# non-SQL-expressible queries (rows-only driver check)
+# --------------------------------------------------------------------------
+
+def q_stream_event_counts(spark, sf_dir):
+    """Structured Streaming: windowed counts with watermark, memory sink."""
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qname = "stream_event_counts_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).select(
+        F.col("window.start").alias("win_start"), "event_type", "n"
+    )
+
+
+def q_audio_dedup_clusters(spark, sf_dir):
+    """The flagship audio+text pipeline on the deterministic synthetic
+    corpus (pandas/Arrow UDF path — not SQL-expressible)."""
+    import tempfile
+
+    from sems_event_deduplication_spark.conf import DedupConfig
+    from sems_event_deduplication_spark.plans.pipeline import DedupPipeline
+    from sems_event_deduplication_spark.sources.warehouse import WarehouseIO
+    from sems_event_deduplication_spark.synth import make_corpus
+
+    cfg = DedupConfig()
+    clips = make_corpus(spark, n_base=200, seed=42)
+    wh = WarehouseIO(spark, tempfile.mkdtemp(prefix="wh_entry_"))
+    res = DedupPipeline(spark, cfg, wh).run(clips, with_audio=True)
+    return res.clusters.select("component", "n_members", "survivor_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "exact_dedup_keeplast": q_exact_dedup_keeplast,
+        "normalize_remove_stick": q_normalize_remove_stick,
+        "shingle_count": q_shingle_count,
+        "minhash_md5_signature": q_minhash_md5_signature,
+        "jaccard_pairs_topk": q_jaccard_pairs_topk,
+        "lang_source_counts": q_lang_source_counts,
+        "mode_event_type_per_user": q_mode_event_type_per_user,
+        "session_count_per_user": q_session_count_per_user,
+        "orders_within_week": q_orders_within_week,
+        "date_coverage": q_date_coverage,
+        "lineitem_agg": q_lineitem_agg,
+        "top_order_per_cust": q_top_order_per_cust,
+        "revenue_by_segment": q_revenue_by_segment,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+        "embedding_sign_bits": q_embedding_sign_bits,
+        "text_quality": q_text_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "user_activity_buckets": q_user_activity_buckets,
+        "keep_last_event_per_user": q_keep_last_event_per_user,
+        "source_entity_overlap": q_source_entity_overlap,
+        "stream_event_counts": q_stream_event_counts,
+        "audio_dedup_clusters": q_audio_dedup_clusters,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace("
+    "list_reduce(list_transform(string_split(lower({src}), '|'), p -> trim(p)),"
+    " (a, b) -> CASE WHEN length(b) > length(a) THEN b ELSE a END),"
+    " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+)
+
+_SHINGLES = (
+    "SELECT DISTINCT d.doc_id, substring(d.text, CAST(n.i AS INT), 9) AS sh "
+    "FROM documents d JOIN (SELECT unnest(generate_series(1, 4000)) AS i) n "
+    "ON n.i <= length(d.text) - 8"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_keeplast": """
+            SELECT doc_id, n_chars FROM (
+              SELECT doc_id, n_chars,
+                     row_number() OVER (PARTITION BY substring(text, 1, 16)
+                                        ORDER BY doc_id DESC) AS rn
+              FROM documents) WHERE rn = 1
+        """,
+        "normalize_remove_stick": f"""
+            SELECT doc_id, {_NORM.format(src="text || ' | Breaking, News!'")} AS norm_text
+            FROM documents
+        """,
+        "shingle_count": f"""
+            SELECT doc_id, count(*) AS n_shingles FROM ({_SHINGLES}) GROUP BY doc_id
+        """,
+        "minhash_md5_signature": f"""
+            SELECT doc_id,
+                   min(md5('0:' || sh)) AS slot_0,
+                   min(md5('1:' || sh)) AS slot_1,
+                   min(md5('2:' || sh)) AS slot_2,
+                   min(md5('3:' || sh)) AS slot_3
+            FROM ({_SHINGLES}) GROUP BY doc_id
+        """,
+        "jaccard_pairs_topk": f"""
+            WITH sh AS ({_SHINGLES.replace("FROM documents d", "FROM (SELECT * FROM documents WHERE doc_id < 60) d")}),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+        """,
+        "lang_source_counts": """
+            SELECT lang, source, count(*) AS n_docs FROM documents
+            WHERE lang <> 'zh' GROUP BY 1, 2
+        """,
+        "mode_event_type_per_user": """
+            SELECT user_id, event_type AS mode_event_type, n FROM (
+              SELECT user_id, event_type, count(*) AS n,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY count(*) DESC, event_type) AS rn
+              FROM events GROUP BY user_id, event_type) WHERE rn = 1
+        """,
+        "session_count_per_user": """
+            SELECT user_id, sum(new_s) AS n_sessions FROM (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events) GROUP BY user_id
+        """,
+        "orders_within_week": """
+            SELECT a.o_custkey AS custkey, a.o_orderkey AS k_a, b.o_orderkey AS k_b
+            FROM orders a JOIN orders b
+              ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+             AND abs(date_diff('day', CAST(a.o_orderdate AS DATE), CAST(b.o_orderdate AS DATE))) <= 7
+            WHERE a.o_custkey < 50
+        """,
+        "date_coverage": """
+            SELECT o_orderpriority, count(DISTINCT day) AS n_days FROM (
+              SELECT o_orderpriority,
+                     unnest(generate_series(CAST(o_orderdate AS DATE),
+                                            CAST(o_orderdate AS DATE) + INTERVAL 3 DAY,
+                                            INTERVAL 1 DAY)) AS day
+              FROM orders) GROUP BY 1
+        """,
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "top_order_per_cust": """
+            SELECT o_custkey, o_orderkey FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders WHERE o_custkey < 200) WHERE rn = 1
+        """,
+        "revenue_by_segment": """
+            SELECT c_mktsegment,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                   count(DISTINCT o_orderkey) AS n_orders
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "embedding_cosine_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            expl AS (
+              SELECT v.vec_id,
+                     CAST(v.embedding[CAST(n.i AS INT)] AS DOUBLE) AS x,
+                     CAST(q.qv[CAST(n.i AS INT)] AS DOUBLE) AS y
+              FROM embeddings v, q,
+                   (SELECT unnest(generate_series(1, 10000)) AS i) n
+              WHERE v.vec_id <> 0 AND n.i <= len(v.embedding))
+            SELECT vec_id,
+                   round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cosine
+            FROM expl GROUP BY vec_id
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "embedding_sign_bits": """
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN embedding[CAST(n.i AS INT)] > 0
+                                 THEN CAST(2 AS BIGINT) ** (n.i - 1) ELSE 0 END) AS BIGINT) AS sig32
+            FROM embeddings, (SELECT unnest(generate_series(1, 32)) AS i) n
+            GROUP BY vec_id
+        """,
+        "text_quality": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> length(t) > 0) AS words
+              FROM documents)
+            SELECT doc_id,
+                   len(words) AS n_words,
+                   round(CAST(len(list_filter(words, t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE) / len(words), 6) AS stopword_ratio,
+                   CASE WHEN len(words) >= 60 THEN 'long'
+                        WHEN len(words) >= 30 THEN 'medium'
+                        ELSE 'short' END AS len_bucket
+            FROM w
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "user_activity_buckets": """
+            SELECT user_id, count(*) AS n_events,
+                   CASE WHEN count(*) > 80 THEN 'large'
+                        WHEN count(*) >= 60 THEN 'medium'
+                        ELSE 'small' END AS bucket
+            FROM events GROUP BY user_id
+        """,
+        "keep_last_event_per_user": """
+            SELECT user_id, event_id FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "source_entity_overlap": """
+            WITH words AS (
+              SELECT source, unnest(list_filter(string_split(text, ' '),
+                                                t -> length(t) >= 5)) AS w
+              FROM documents),
+            freq AS (
+              SELECT source, w, count(*) AS cnt FROM words
+              GROUP BY 1, 2 HAVING count(*) > 4),
+            sizes AS (SELECT source, count(*) AS n FROM freq GROUP BY source),
+            inter AS (
+              SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+              FROM freq a JOIN freq b ON a.w = b.w AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT src_a, src_b,
+                   round(n_inter / greatest(sa.n, sb.n), 6) AS overlap
+            FROM inter
+            JOIN sizes sa ON sa.source = src_a
+            JOIN sizes sb ON sb.source = src_b
+            WHERE n_inter / greatest(sa.n, sb.n) >= 0.5
+        """,
+    }

@@ -1,0 +1,214 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline jobs:
+  - text_dedup_e2e   : flagship MinHash-LSH near-dup clustering over the
+                       sf documents table (normalize -> signatures ->
+                       bands -> candidates -> verify -> CC).
+  - audio_dedup_e2e  : full audio+text pipeline on the deterministic
+                       synthetic corpus (pandas/Arrow UDF path);
+                       emits clips/sec.
+  - contract queries : representative operator set from __spark_entry__.
+
+Scaling evidence (north rule: efficiency >= 0.8 between N and 4N):
+    python bench.py --scaling       # runs local[8] and local[32]
+runs the identical job in two subprocesses (one JVM each) and writes
+BENCH/BASELINE.md with clips/sec at both plus efficiency = (T_8/T_32)/4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+AUDIO_N_BASE = int(os.environ.get("BENCH_AUDIO_N_BASE", "2000"))
+
+
+def _sf_label(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_text_dedup(spark, sf_dir: str) -> int:
+    from pyspark.sql import functions as F
+
+    from sems_event_deduplication_spark.conf import DedupConfig
+    from sems_event_deduplication_spark.functions.minhash import (
+        band_hashes, make_minhash_udf, shingle_hashes,
+    )
+    from sems_event_deduplication_spark.functions.text import (
+        char_shingles, normalize_text,
+    )
+    from sems_event_deduplication_spark.operators.components import (
+        assign_components, connected_components,
+    )
+    from sems_event_deduplication_spark.operators.lsh import (
+        candidate_pairs, explode_bands,
+    )
+    from sems_event_deduplication_spark.operators.verify import verify_jaccard
+
+    cfg = DedupConfig(jaccard_threshold=0.5)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        F.col("doc_id").cast("string").alias("clip_id"),
+        normalize_text(F.col("text"), strip_boilerplate=False).alias("transcript_norm"),
+    )
+    mh = make_minhash_udf(cfg.num_perm, cfg.seed)
+    sigs = (
+        docs.withColumn("shingles", char_shingles(F.col("transcript_norm"), cfg.shingle_k))
+        .withColumn("minhash_sig", mh(shingle_hashes(F.col("shingles"))))
+        .withColumn("bands", band_hashes(F.col("minhash_sig"), cfg.bands, cfg.rows_per_band))
+    )
+    cands = candidate_pairs(explode_bands(sigs, "clip_id", "bands"), cfg.max_bucket_size)
+    verified = verify_jaccard(cands, sigs, cfg.num_perm, cfg.jaccard_threshold, cfg.est_margin)
+    comp = connected_components(verified, "id_a", "id_b", cfg.cc_max_iterations)
+    return assign_components(sigs.select("clip_id"), comp).count()
+
+
+def run_audio_dedup(spark) -> tuple[int, float]:
+    """Returns (n_clips, wall_sec).
+
+    Setup (untimed): materialize the synthetic corpus as a parquet
+    table + warm the Python workers — the pipeline's contract is to
+    read an existing table, and worker spin-up is a per-cluster
+    constant, not per-job throughput. Timed: the full pipeline in
+    'min' checkpoint mode (signatures/candidates/verified/clusters
+    still checkpoint, per the north rule).
+    """
+    from pyspark.sql import functions as F
+
+    from sems_event_deduplication_spark.conf import DedupConfig
+    from sems_event_deduplication_spark.functions.audio import make_audio_simhash_udf
+    from sems_event_deduplication_spark.plans.pipeline import DedupPipeline
+    from sems_event_deduplication_spark.sources.warehouse import WarehouseIO
+    from sems_event_deduplication_spark.synth import make_corpus
+
+    cfg = DedupConfig()
+    corpus_dir = os.path.join(tempfile.mkdtemp(prefix="bench_corpus_"), "audio_clips")
+    make_corpus(spark, n_base=AUDIO_N_BASE, seed=42).write.parquet(corpus_dir)
+    clips = spark.read.parquet(corpus_dir)
+    n = clips.count()
+    # warm the Arrow workers (collect defeats column pruning)
+    ash = make_audio_simhash_udf(cfg.fft_frame, cfg.fft_hop, cfg.n_mel_bands, cfg.simhash_bits, cfg.seed)
+    clips.limit(256).repartition(64).select(ash(F.col("bytes"), F.col("codec")).alias("s")).collect()
+
+    wh = WarehouseIO(spark, tempfile.mkdtemp(prefix="wh_bench_"))
+    t0 = time.monotonic()
+    DedupPipeline(spark, cfg, wh).run(clips, with_audio=True)
+    return n, time.monotonic() - t0
+
+
+CONTRACT_QUERIES = [
+    "minhash_md5_signature",
+    "jaccard_pairs_topk",
+    "session_count_per_user",
+    "lineitem_agg",
+    "revenue_by_segment",
+    "embedding_cosine_topk",
+]
+
+
+def bench_once(cores: int, sf_dir: str, include_contract: bool = True) -> dict:
+    import __spark_entry__ as entrymod
+    from sems_event_deduplication_spark.session import get_spark
+
+    spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+
+    t0 = time.monotonic()
+    run_text_dedup(spark, sf_dir)
+    queries["text_dedup_e2e"] = round(time.monotonic() - t0, 3)
+
+    n_clips, audio_sec = run_audio_dedup(spark)
+    queries["audio_dedup_e2e"] = round(audio_sec, 3)
+    clips_per_sec = round(n_clips / audio_sec, 2)
+
+    if include_contract:
+        qs = entrymod.queries()
+        for name in CONTRACT_QUERIES:
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).toPandas()
+            queries[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "dedup_bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_label(sf_dir),
+        "cores": cores,
+        "audio_clips": n_clips,
+        "clips_per_sec": clips_per_sec,
+    }
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Identical job at local[8] and local[32]; efficiency = (T_8/T_32)/4."""
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single", str(cores)],
+            capture_output=True, text=True,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            timeout=3000,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    t8 = results[8]["queries"]["audio_dedup_e2e"] + results[8]["queries"]["text_dedup_e2e"]
+    t32 = results[32]["queries"]["audio_dedup_e2e"] + results[32]["queries"]["text_dedup_e2e"]
+    eff = round((t8 / t32) / 4.0, 3)
+    report = {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": eff,
+        "unit": "ratio",
+        "queries": {
+            "t_local8_sec": round(t8, 3),
+            "t_local32_sec": round(t32, 3),
+            "clips_per_sec_local8": results[8]["clips_per_sec"],
+            "clips_per_sec_local32": results[32]["clips_per_sec"],
+        },
+        "sf": _sf_label(sf_dir),
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            "# BENCH scaling evidence (sandbox proxy for N vs 4N executors)\n\n"
+            "Same job (text_dedup_e2e + audio_dedup_e2e, identical input) at two\n"
+            "parallelism levels, one JVM per run (north rule: efficiency >= 0.8).\n\n"
+            f"| cores | dedup wall (s) | audio clips/sec |\n|---|---|---|\n"
+            f"| local[8] | {round(t8,3)} | {results[8]['clips_per_sec']} |\n"
+            f"| local[32] | {round(t32,3)} | {results[32]['clips_per_sec']} |\n\n"
+            f"**Scaling efficiency (T_8 / T_32) / 4 = {eff}**\n\n"
+            f"Full runs:\n```json\n{json.dumps(results[8])}\n{json.dumps(results[32])}\n```\n"
+        )
+    return report
+
+
+def main():
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(SF_DIR)))
+        return
+    if "--single" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--single") + 1])
+        print(json.dumps(bench_once(cores, SF_DIR, include_contract=False)))
+        return
+    print(json.dumps(bench_once(CPUS, SF_DIR)))
+
+
+if __name__ == "__main__":
+    main()

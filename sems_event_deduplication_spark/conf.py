@@ -22,8 +22,14 @@ class DedupConfig:
 
     # --- audio path ------------------------------------------------
     simhash_bits: int = 64        # SimHash width over spectral fingerprint
-    hamming_threshold: int = 8    # max Hamming distance for audio near-dup
-    simhash_bands: int = 8        # LSH bands over the simhash bits (8 x 8 bits)
+    hamming_threshold: int = 3    # max Hamming distance for audio near-dup.
+    simhash_bands: int = 4        # 4 bands x 16 bits. Pigeonhole: hamming <= 3
+                                  # guarantees >= 1 band with zero flips, so
+                                  # audio candidate recall is exactly 1.0 by
+                                  # construction (true near-dups measure <= 2
+                                  # bit flips at SNR >= 30 dB; see functions/
+                                  # audio.py). Wide bands keep random collisions
+                                  # ~65x lower than 8x8 banding.
     fft_frame: int = 1024         # samples per analysis frame
     fft_hop: int = 512
     n_mel_bands: int = 64         # log-spaced energy bands per frame
@@ -32,6 +38,7 @@ class DedupConfig:
     max_bucket_size: int = 256    # LSH buckets larger than this use star-edges
                                   # (member -> bucket-min) instead of all-pairs
     salt_buckets: int = 16        # salt fan-out used to spread verify work
+    containment_bands: int = 2    # bands scanned by the suffix-array tier
 
     # --- clustering ------------------------------------------------
     min_cluster_size: int = 2     # reference community_detection min size (cluster_news.py:22)

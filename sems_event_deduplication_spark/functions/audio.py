@@ -29,6 +29,16 @@ from pyspark.sql import types as T
 
 SUPPORTED_CODECS = ("pcm_s16le", "pcm_f32le")
 
+_HANN_CACHE: dict[int, np.ndarray] = {}
+
+
+def _hann(frame: int) -> np.ndarray:
+    w = _HANN_CACHE.get(frame)
+    if w is None:
+        w = np.hanning(frame)
+        _HANN_CACHE[frame] = w
+    return w
+
 
 def decode_pcm(buf: bytes, codec: str) -> np.ndarray:
     """Decode an encoded payload to float32 PCM in [-1, 1]."""
@@ -76,7 +86,7 @@ def spectral_fingerprint(
         pcm = np.pad(pcm, (0, frame - len(pcm)))
     n_frames = 1 + (len(pcm) - frame) // hop
     idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
-    frames = pcm[idx] * np.hanning(frame)[None, :]
+    frames = pcm[idx] * _hann(frame)[None, :]
     mag = np.abs(np.fft.rfft(frames, axis=1))  # (n_frames, frame//2+1)
     n_bins = mag.shape[1]
     # log-spaced band edges over the positive-frequency bins, all < n_bins

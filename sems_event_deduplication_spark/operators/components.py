@@ -93,6 +93,10 @@ def connected_components(
         fp = _edge_fingerprint(e)
         if fp == prev_fp:
             break
+        if prev_fp is None and fp[0] < 200_000:
+            # small graph: shrink the per-iteration shuffle width so the
+            # fixpoint loop isn't dominated by task-scheduling overhead
+            e = e.repartition(4).localCheckpoint(eager=True)
         prev_fp = fp
 
     # At fixpoint every edge is (member -> root); roots map to themselves.

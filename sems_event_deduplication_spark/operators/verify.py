@@ -162,18 +162,25 @@ def containment_pairs(
     max_bucket_size: int,
     id_col: str = "clip_id",
     text_col: str = "transcript_norm",
+    n_bands: int = 2,
 ) -> DataFrame:
     """Suffix-array containment verify, grouped per LSH bucket.
 
     Input ``banded`` = (clip_id, band_id, band_hash). Buckets above
     max_bucket_size are skipped (same cap as candidate generation).
+    Only the first ``n_bands`` bands are scanned: near-identical docs
+    collide on (almost) every band, so scanning all 32 re-finds the
+    same pairs 32x while multiplying the Python group-call count —
+    this is the grouped-UDF cost lever at scale.
     Returns distinct (id_a, id_b, contained=1).
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy("band_id", "band_hash")
-    sized = banded.withColumn("__n", F.count(F.lit(1)).over(w)).filter(
-        (F.col("__n") > 1) & (F.col("__n") <= max_bucket_size)
+    sized = (
+        banded.filter(F.col("band_id") < n_bands)
+        .withColumn("__n", F.count(F.lit(1)).over(w))
+        .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket_size))
     )
     with_text = sized.join(
         docs.select(F.col(id_col).alias("clip_id"), F.col(text_col).alias("text")),

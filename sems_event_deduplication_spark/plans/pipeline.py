@@ -41,6 +41,8 @@ class StageMetric:
     stage: str
     rows_out: int
     seconds: float
+    write_sec: float = 0.0
+    count_sec: float = 0.0
 
 
 @dataclass
@@ -51,7 +53,14 @@ class PipelineResult:
     metrics: list[StageMetric] = field(default_factory=list)
 
     def metrics_dict(self) -> dict:
-        return {m.stage: {"rows": m.rows_out, "sec": round(m.seconds, 3)} for m in self.metrics}
+        return {
+            m.stage: {
+                "rows": m.rows_out,
+                "sec": round(m.seconds, 3),
+                "write_sec": round(m.write_sec, 3),
+            }
+            for m in self.metrics
+        }
 
 
 class DedupPipeline:
@@ -63,30 +72,54 @@ class DedupPipeline:
     def _stage(self, df: DataFrame, name: str, resume: bool, metrics: list[StageMetric]) -> DataFrame:
         t0 = time.monotonic()
         out = self.wh.checkpoint(df, name, resume=resume)
+        t1 = time.monotonic()
         n = out.count()
-        metrics.append(StageMetric(name, n, time.monotonic() - t0))
+        t2 = time.monotonic()
+        metrics.append(StageMetric(name, n, t2 - t0, t1 - t0, t2 - t1))
         return out
 
-    def run(self, clips: DataFrame, resume: bool = False, with_audio: bool = True) -> PipelineResult:
+    def run(
+        self,
+        clips: DataFrame,
+        resume: bool = False,
+        with_audio: bool = True,
+        checkpoint_mode: str = "all",
+    ) -> PipelineResult:
+        """checkpoint_mode:
+        - "all": every stage materializes to the warehouse (finest
+          resume granularity; the test suite uses this).
+        - "min": only the north-rule stages (signatures / candidates /
+          verified_pairs / clusters) checkpoint; cheap projections and
+          windows stay lazy and fuse into the downstream stage.
+        """
         cfg = self.cfg
         metrics: list[StageMetric] = []
+        cp_all = checkpoint_mode == "all"
+
+        def maybe_stage(df: DataFrame, name: str) -> DataFrame:
+            if cp_all:
+                return self._stage(df, name, resume, metrics)
+            return df
 
         # ---- normalize (native exprs only) -------------------------------
         normalized = clips.select(
             "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript",
             X.normalize_text(F.col("transcript")).alias("transcript_norm"),
         )
-        normalized = self._stage(normalized, "normalized", resume, metrics)
+        normalized = maybe_stage(normalized, "normalized")
 
         # ---- exact dedup on content digests ------------------------------
         exact, exact_edges = exact_dedup_with_edges(
             normalized, text_col="transcript_norm",
             payload_col="bytes" if with_audio else None, order_col="clip_id",
         )
-        exact = self._stage(exact, "exact_dedup", resume, metrics)
-        exact_edges = self._stage(exact_edges, "exact_edges", resume, metrics)
+        exact = maybe_stage(exact, "exact_dedup")
+        exact_edges = maybe_stage(exact_edges, "exact_edges")
 
         # ---- signatures (payload dropped after this stage) ----------------
+        # checkpoint tables read back as few partitions; spread the UDF
+        # work across the executors before the Arrow stages
+        exact = exact.repartition(cfg.shuffle_partitions)
         shingled = exact.withColumn(
             "shingles", X.char_shingles(F.col("transcript_norm"), cfg.shingle_k)
         ).withColumn("shingle_hashes", M.shingle_hashes(F.col("shingles")))
@@ -115,6 +148,8 @@ class DedupPipeline:
             banded_audio = lsh.explode_bands(sigs, "clip_id", "audio_bands")
             cand_audio = lsh.candidate_pairs(banded_audio, cfg.max_bucket_size)
             cand_audio = self._stage(cand_audio, "candidates_audio", resume, metrics)
+        else:
+            cand_audio = None
 
         # ---- verify --------------------------------------------------------
         pairs_text = verify.verify_jaccard(
@@ -125,7 +160,7 @@ class DedupPipeline:
         ).withColumn("kind", F.lit("text"))
 
         contain = verify.containment_pairs(
-            banded_text, sigs, cfg.max_bucket_size
+            banded_text, sigs, cfg.max_bucket_size, n_bands=cfg.containment_bands
         ).select("id_a", "id_b", F.lit(1.0).alias("jaccard")).withColumn(
             "kind", F.lit("containment")
         )
@@ -154,7 +189,7 @@ class DedupPipeline:
         clustered = assign_components(
             normalized.select("clip_id", "transcript_norm"), comp
         )
-        clustered = self._stage(clustered, "components", resume, metrics)
+        clustered = maybe_stage(clustered, "components")
 
         # ---- outputs --------------------------------------------------------
         survivors = select_survivors(clustered).join(
