@@ -68,6 +68,7 @@ def entry(spark: SparkSession) -> DataFrame:
         .withColumn("minhash_sig", mh(shingle_hashes(F.col("shingles"))))
         .withColumn("bands", band_hashes(F.col("minhash_sig"), cfg.bands, cfg.rows_per_band))
     )
+    sigs = sigs.persist()  # reused by candidates, both verify sides, assign
     cands = candidate_pairs(explode_bands(sigs, "clip_id", "bands"), cfg.max_bucket_size)
     verified = verify_jaccard(cands, sigs, cfg.num_perm, cfg.jaccard_threshold, cfg.est_margin)
     comp = connected_components(verified, "id_a", "id_b", cfg.cc_max_iterations)
@@ -391,6 +392,24 @@ def q_source_entity_overlap(spark, sf_dir):
     )
 
 
+def q_user_type_entropy(spark, sf_dir):
+    """A12: Shannon entropy of the event-type distribution per user."""
+    from sems_event_deduplication_spark.operators.textstats import cluster_type_entropy
+
+    e = _t(spark, sf_dir, "events")
+    return cluster_type_entropy(e, cluster_col="user_id", type_col="event_type").select(
+        "user_id", F.col("type_entropy").alias("entropy")
+    )
+
+
+def q_lang_id_heuristic(spark, sf_dir):
+    """Language-ID by stopword-profile argmax (training-pipeline op)."""
+    from sems_event_deduplication_spark.operators.textstats import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+
+
 # --------------------------------------------------------------------------
 # non-SQL-expressible queries (rows-only driver check)
 # --------------------------------------------------------------------------
@@ -464,6 +483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity_buckets": q_user_activity_buckets,
         "keep_last_event_per_user": q_keep_last_event_per_user,
         "source_entity_overlap": q_source_entity_overlap,
+        "user_type_entropy": q_user_type_entropy,
+        "lang_id_heuristic": q_lang_id_heuristic,
         "stream_event_counts": q_stream_event_counts,
         "audio_dedup_clusters": q_audio_dedup_clusters,
     }
@@ -635,6 +656,33 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events) WHERE rn = 1
+        """,
+        "user_type_entropy": """
+            WITH c AS (SELECT user_id, event_type, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1)
+            SELECT c.user_id, round(sum(-(n / tot) * log2(n / tot)), 6) AS entropy
+            FROM c JOIN t USING (user_id) GROUP BY c.user_id
+        """,
+        "lang_id_heuristic": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS words
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     len(list_filter(words, t -> t IN ('der','die','und','das','ist','nicht','ein','mit'))) / greatest(len(words), 1) AS s_de,
+                     len(list_filter(words, t -> t IN ('the','and','of','to','in','is','that','for'))) / greatest(len(words), 1) AS s_en,
+                     len(list_filter(words, t -> t IN ('el','la','los','que','de','en','un','por'))) / greatest(len(words), 1) AS s_es,
+                     len(list_filter(words, t -> t IN ('le','la','les','des','est','une','dans','pour'))) / greatest(len(words), 1) AS s_fr
+              FROM w)
+            SELECT doc_id,
+                   CASE WHEN s_de > 0.05 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                        WHEN s_en > 0.05 AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                        WHEN s_es > 0.05 AND s_es >= s_fr THEN 'es'
+                        WHEN s_fr > 0.05 THEN 'fr'
+                        ELSE 'und' END AS pred_lang
+            FROM s
         """,
         "source_entity_overlap": """
             WITH words AS (

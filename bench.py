@@ -71,10 +71,16 @@ def run_text_dedup(spark, sf_dir: str) -> int:
         .withColumn("minhash_sig", mh(shingle_hashes(F.col("shingles"))))
         .withColumn("bands", band_hashes(F.col("minhash_sig"), cfg.bands, cfg.rows_per_band))
     )
-    cands = candidate_pairs(explode_bands(sigs, "clip_id", "bands"), cfg.max_bucket_size)
-    verified = verify_jaccard(cands, sigs, cfg.num_perm, cfg.jaccard_threshold, cfg.est_margin)
-    comp = connected_components(verified, "id_a", "id_b", cfg.cc_max_iterations)
-    return assign_components(sigs.select("clip_id"), comp).count()
+    # signatures are reused by candidates + both verify sides + assign:
+    # persist once (the pipeline proper uses a durable checkpoint here)
+    sigs = sigs.persist()
+    try:
+        cands = candidate_pairs(explode_bands(sigs, "clip_id", "bands"), cfg.max_bucket_size)
+        verified = verify_jaccard(cands, sigs, cfg.num_perm, cfg.jaccard_threshold, cfg.est_margin)
+        comp = connected_components(verified, "id_a", "id_b", cfg.cc_max_iterations)
+        return assign_components(sigs.select("clip_id"), comp).count()
+    finally:
+        sigs.unpersist()
 
 
 def run_audio_dedup(spark) -> tuple[int, float]:

@@ -1,0 +1,149 @@
+"""Silver-label assignment + pair-dataset semantics (SURVEY.md G6, §3.2).
+
+Reference:
+- silver label = majority ``pred_event_type`` per merged cluster
+  (README.md:15; mode ops at ``create_silver_label.py:305-312``,
+  relabel at ``:405-410``).
+- pair labeling rule (``models/Datasets.py:162-198``): same cluster
+  key => ``same_event`` (with a date-prefix temporal comparison),
+  different => ``different_event``.
+- cluster-size-stratified splits (``models/Datasets.py:16-41``) and
+  balanced random pairs (``:57-99``) — re-expressed as ``rand(seed)``
+  window pairing + ``sampleBy`` (deterministic under fixed seed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def silver_labels(
+    df: DataFrame,
+    cluster_col: str = "merged_component",
+    type_col: str = "pred_event_type",
+    oos_label: str = "oos",
+) -> DataFrame:
+    """Majority type per cluster (mode, ties -> lexicographic min);
+    clusters whose only label is ``oos`` keep it (reference drops them
+    at ``create_silver_label.py:273-278`` — callers filter)."""
+    cnt = df.groupBy(cluster_col, type_col).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(cluster_col).orderBy(F.col("n").desc(), type_col)
+    mode = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(cluster_col, F.col(type_col).alias("silver_label"))
+    )
+    return df.join(F.broadcast(mode), cluster_col, "left")
+
+
+def drop_all_oos_clusters(
+    df: DataFrame,
+    cluster_col: str = "merged_component",
+    type_col: str = "pred_event_type",
+    oos_label: str = "oos",
+) -> DataFrame:
+    """A7: remove clusters whose every row is out-of-scope
+    (``create_silver_label.py:267-286``) — group predicate + anti-join."""
+    bad = (
+        df.groupBy(cluster_col)
+        .agg(
+            F.count_distinct(type_col).alias("n_types"),
+            F.max(type_col).alias("only_type"),
+        )
+        .filter((F.col("n_types") == 1) & (F.col("only_type") == oos_label))
+        .select(cluster_col)
+    )
+    return df.join(bad, cluster_col, "left_anti")
+
+
+def label_pairs(
+    pairs: DataFrame,
+    members: DataFrame,
+    id_col: str = "clip_id",
+    cluster_col: str = "merged_component",
+    date_col: str = "event_date",
+) -> DataFrame:
+    """Pair ground-truth labeling (``models/Datasets.py:162-198``):
+    same cluster -> same_event / same_event_previous / same_event_later
+    by date comparison; different cluster -> different_event."""
+    a = members.select(
+        F.col(id_col).alias("id_a"),
+        F.col(cluster_col).alias("cl_a"),
+        F.col(date_col).alias("d_a"),
+    )
+    b = members.select(
+        F.col(id_col).alias("id_b"),
+        F.col(cluster_col).alias("cl_b"),
+        F.col(date_col).alias("d_b"),
+    )
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    same = F.col("cl_a") == F.col("cl_b")
+    return j.select(
+        "id_a",
+        "id_b",
+        F.when(~same, "different_event")
+        .when(F.col("d_a") == F.col("d_b"), "same_event")
+        .when(F.col("d_a") < F.col("d_b"), "same_event_previous")
+        .otherwise("same_event_later")
+        .alias("label"),
+    )
+
+
+def stratified_cluster_split(
+    members: DataFrame,
+    cluster_col: str = "merged_component",
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    seed: int = 420,
+    large: int = 500,
+    medium: int = 100,
+) -> DataFrame:
+    """Cluster-size-stratified train/val/test split (A9 + Datasets:16-41).
+
+    Buckets clusters by size (>500 large, 100-500 medium, else small),
+    then assigns whole clusters to splits with rand(seed) ordered
+    round-robin within each bucket — every member of a cluster lands in
+    the same split (the reference's core requirement)."""
+    sizes = members.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("n"))
+    bucketed = sizes.withColumn(
+        "bucket",
+        F.when(F.col("n") > large, "large")
+        .when(F.col("n") > medium, "medium")
+        .otherwise("small"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.rand(seed), cluster_col)
+    cum = (
+        bucketed.withColumn("rn", F.row_number().over(w))
+        .withColumn("tot", F.count(F.lit(1)).over(Window.partitionBy("bucket")))
+        .withColumn("frac", (F.col("rn") - 0.5) / F.col("tot"))
+    )
+    t, v, _ = weights
+    assigned = cum.select(
+        cluster_col,
+        F.when(F.col("frac") <= t, "train")
+        .when(F.col("frac") <= t + v, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return members.join(F.broadcast(assigned), cluster_col)
+
+
+def balanced_random_pairs(
+    members: DataFrame,
+    id_col: str = "clip_id",
+    seed: int = 4,
+) -> DataFrame:
+    """Random disjoint pairing (``models/Datasets.py:72-73``): shuffle
+    by rand(seed), pair row 2i with 2i+1 via a pair-index window —
+    distributed, deterministic under the fixed seed."""
+    w = Window.orderBy(F.rand(seed), id_col)
+    idx = members.select(id_col).withColumn("rn", F.row_number().over(w))
+    left = idx.filter(F.col("rn") % 2 == 1).select(
+        ((F.col("rn") + 1) / 2).cast("long").alias("pair_id"),
+        F.col(id_col).alias("id_a"),
+    )
+    right = idx.filter(F.col("rn") % 2 == 0).select(
+        (F.col("rn") / 2).cast("long").alias("pair_id"),
+        F.col(id_col).alias("id_b"),
+    )
+    return left.join(right, "pair_id").select("id_a", "id_b")

@@ -1,0 +1,63 @@
+"""Similarity search: exact top-k baseline + LSH-bucketed ANN."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from sems_event_deduplication_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_topk,
+    make_planes,
+)
+
+
+def _emb_df(spark, n=300, dim=16, seed=5):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    # plant near neighbors of row 0
+    base[1] = base[0] + 0.01 * rng.standard_normal(dim).astype(np.float32)
+    base[2] = base[0] * 1.5
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": [r.tolist() for r in base]})
+    return spark.createDataFrame(pdf), base
+
+
+def _np_topk(base, q, k):
+    sims = base @ q / (np.linalg.norm(base, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((np.arange(len(base)), -np.round(sims, 6)))
+    return [int(i) for i in order[:k]]
+
+
+def test_cosine_topk_matches_numpy(spark):
+    df, base = _emb_df(spark)
+    q = base[0].astype(np.float64)
+    got = [r["vec_id"] for r in cosine_topk(df, q.tolist(), k=5).collect()]
+    want = _np_topk(base.astype(np.float64), q, 5)
+    assert got == want
+    assert got[0] == 0 and set(got[:3]) == {0, 1, 2}  # planted neighbors found
+
+
+def test_ann_lsh_finds_planted_neighbors(spark):
+    df, base = _emb_df(spark)
+    planes = make_planes(dim=16, n_bits=16, seed=42)
+    q = base[0].astype(np.float64).tolist()
+    got = [r["vec_id"] for r in ann_topk_lsh(df, q, planes, k=3, hamming_radius=3).collect()]
+    assert got[0] == 0
+    assert set(got) <= set(_np_topk(base.astype(np.float64), base[0].astype(np.float64), 10))
+
+
+def test_ann_prunes_candidates(spark):
+    df, base = _emb_df(spark)
+    planes = make_planes(dim=16, n_bits=16, seed=42)
+    from pyspark.sql import functions as F
+    from sems_event_deduplication_spark.operators.similarity import sign_bits_expr
+
+    q = base[0].astype(np.float64)
+    proj = planes @ q
+    q_sig = sum(1 << b for b in range(16) if proj[b] > 0)
+    pruned_n = (
+        df.withColumn("s", sign_bits_expr(F.col("embedding"), planes))
+        .filter(F.bit_count(F.col("s").bitwiseXOR(F.lit(q_sig))) <= 3)
+        .count()
+    )
+    assert pruned_n < 300  # the bucket prefilter actually prunes

@@ -1,0 +1,56 @@
+"""Structured Streaming front-end: exact dedup + windowed fingerprints."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sems_event_deduplication_spark.streaming.stream_dedup import (
+    run_stream_to_memory,
+    streaming_exact_dedup,
+    streaming_signature_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark):
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for i in range(20):
+        rows.append(
+            {
+                "clip_id": f"s{i:02d}",
+                "ts": base + pd.Timedelta(minutes=i),
+                "transcript": "same text" if i % 4 == 0 else f"text number {i}",
+                "bytes": b"\x01\x02" if i % 4 == 0 else bytes([i]),
+            }
+        )
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(os.path.join(d, "batch"))
+    return os.path.join(d, "batch")
+
+
+def _read_stream(spark, path):
+    static = spark.read.parquet(path)
+    return spark.readStream.schema(static.schema).parquet(path)
+
+
+def test_streaming_exact_dedup(spark, stream_dir):
+    deduped = streaming_exact_dedup(_read_stream(spark, stream_dir))
+    name = run_stream_to_memory(deduped, "t_stream_dedup", "append")
+    out = spark.table(name).collect()
+    # 5 exact dups (i % 4 == 0 share text+bytes) collapse to 1
+    assert len(out) == 16
+
+
+def test_streaming_signature_counts(spark, stream_dir):
+    agg = streaming_signature_counts(_read_stream(spark, stream_dir), window="10 minutes")
+    name = run_stream_to_memory(agg, "t_stream_counts", "complete")
+    rows = spark.table(name).collect()
+    assert sum(r["n_clips"] for r in rows) == 20
+    assert all(r["approx_distinct_fps"] <= r["n_clips"] for r in rows)
