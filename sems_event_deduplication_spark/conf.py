@@ -14,9 +14,15 @@ from dataclasses import dataclass, field, asdict
 class DedupConfig:
     # --- text path -------------------------------------------------
     shingle_k: int = 9            # char k-shingles over the normalized transcript
-    num_perm: int = 128           # MinHash permutations
-    bands: int = 32               # LSH bands (bands * rows_per_band == num_perm)
-    rows_per_band: int = 4
+    num_perm: int = 120           # MinHash permutations
+    bands: int = 24               # LSH bands (bands * rows_per_band == num_perm)
+    rows_per_band: int = 5        # S-curve threshold (1/b)^(1/r) ~= 0.53;
+                                  # P(candidate | J=0.8) = 1-(1-0.8^5)^24 = 0.99994
+                                  # so recall >= 0.99 holds by construction, while
+                                  # J=0.4 template-noise pairs collide at ~22%
+                                  # instead of ~100% (b=32/r=4 thresholded at 0.42
+                                  # and flooded the candidate join with sub-
+                                  # threshold pairs that verify then discarded)
     jaccard_threshold: float = 0.8   # verify threshold (reference community t grid: 0.6-0.9)
     est_margin: float = 0.25      # signature-estimate prefilter slack before exact verify
 

@@ -51,6 +51,13 @@ def main(argv=None):
         k, v = kv.split("=", 1)
         cur = getattr(base, k)  # raises on unknown key
         overrides[k] = type(cur)(v) if not isinstance(cur, bool) else v.lower() == "true"
+    if ("num_perm" in overrides or "bands" in overrides) and "rows_per_band" not in overrides:
+        # keep the bands*rows == num_perm invariant without making the
+        # user spell out all three
+        np_ = overrides.get("num_perm", base.num_perm)
+        b_ = overrides.get("bands", base.bands)
+        if np_ % b_ == 0:
+            overrides["rows_per_band"] = np_ // b_
     cfg = DedupConfig(**overrides)
 
     spark = get_spark("sems-dedup-cli", cores=args.cores,

@@ -12,19 +12,27 @@ DataFrame-only formulation:
     small-star: orient edges u > v; every neighbor (and u) re-points
                 to min(N(u) ∪ {u})
 
-Each round is two groupBy/join rounds; converges in O(log n) rounds.
 Node ids are the string clip_ids — the canonical component id is the
 lexicographic min, which also serves as the survivor key (W6),
 deterministic under input permutation.
 
-Every iteration ``localCheckpoint``s to truncate lineage (SURVEY.md §4
-"CC convergence/lineage blowup"); convergence = edge multiset hash
-stable (one cheap agg per iteration).
+Physical shape (latency matters as much as throughput — the loop runs
+O(log n) rounds and every extra shuffle or job multiplies):
+
+- each star pass computes the per-node min with a **window over the
+  same partitioning as the re-point**, not a groupBy+self-join — one
+  shuffle per pass instead of two;
+- each iteration issues exactly **one job**: a lazy ``localCheckpoint``
+  (plan/lineage truncation — iterative loops otherwise grow the
+  Catalyst tree superlinearly) is materialized by the convergence-
+  fingerprint aggregate itself;
+- convergence = edge multiset (count, xor-hash) stable across an
+  iteration (SURVEY.md §4 "CC convergence/lineage blowup").
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -33,17 +41,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
     nbrs = edges.select("u", "v").unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    mins = (
-        nbrs.groupBy("u")
-        .agg(F.min("v").alias("__mv"))
-        .select("u", F.least(F.col("__mv"), F.col("u")).alias("m"))
-    )
+    w = Window.partitionBy("u")
     return (
-        nbrs.join(mins, "u")
+        nbrs.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
+        # no distinct here: small-star dedups once per full iteration,
+        # so duplicate edges ride along exactly one extra shuffle
     )
 
 
@@ -51,12 +56,10 @@ def _small_star(edges: DataFrame) -> DataFrame:
     e = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    mins = e.groupBy("u").agg(F.min("v").alias("m"))
-    nbr_edges = (
-        e.join(mins, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-    )
-    self_edges = mins.select(F.col("u"), F.col("m").alias("v"))
+    w = Window.partitionBy("u")
+    with_min = e.withColumn("m", F.min("v").over(w))
+    nbr_edges = with_min.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_edges = with_min.select("u", F.col("m").alias("v"))
     return (
         nbr_edges.unionByName(self_edges)
         .filter(F.col("u") != F.col("v"))
@@ -85,18 +88,17 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u") != F.col("v")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=False)
 
     prev_fp = None
     for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # lazy localCheckpoint: the fingerprint aggregate below is the
+        # one job that materializes this iteration (and truncates the
+        # plan for the next one)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         fp = _edge_fingerprint(e)
         if fp == prev_fp:
             break
-        if prev_fp is None and fp[0] < 200_000:
-            # small graph: shrink the per-iteration shuffle width so the
-            # fixpoint loop isn't dominated by task-scheduling overhead
-            e = e.repartition(4).localCheckpoint(eager=True)
         prev_fp = fp
 
     # At fixpoint every edge is (member -> root); roots map to themselves.

@@ -64,18 +64,35 @@ def exact_dedup_with_edges(
     reference keeps them implicitly because it dedups the *same* frame
     it clusters); the edges feed connected components so exact dups
     re-attach to their keeper's component.
+
+    Shuffle shape (the 100 TB concern): the ranking window only ever
+    sees the **narrow** projection (id, order, digests) — the binary
+    payload never rides the digest shuffle. Payload rows re-attach via
+    a semi-join on ``id_col``; the keeper-id side is tiny relative to
+    the payload table, so AQE plans it as a broadcast join (on a real
+    cluster a table bucketed by ``clip_id`` makes it shuffle-free).
     """
     key_names = ["__k_text"]
-    with_keys = df.withColumn("__k_text", F.sha2(F.col(text_col), 256))
+    digests = [F.sha2(F.col(text_col), 256).alias("__k_text")]
     if payload_col is not None:
         key_names.append("__k_payload")
-        with_keys = with_keys.withColumn("__k_payload", F.sha2(F.col(payload_col), 256))
+        digests.append(F.sha2(F.col(payload_col), 256).alias("__k_payload"))
+    base_cols = [id_col] if order_col == id_col else [id_col, order_col]
+    narrow = df.select(*base_cols, *digests)
 
     w = Window.partitionBy(*key_names).orderBy(F.col(order_col).desc())
-    ranked = with_keys.withColumn("__rn", F.row_number().over(w)).withColumn(
+    ranked = narrow.withColumn("__rn", F.row_number().over(w)).withColumn(
         "__keeper", F.first(F.col(id_col)).over(w)
     )
-    kept = ranked.filter(F.col("__rn") == 1).drop("__rn", "__keeper", *key_names)
+    keep_ids = ranked.filter(F.col("__rn") == 1).select(id_col)
+    # Explicit broadcast: letting the planner default to a sort-merge
+    # semi-join would exchange the payload rows (AQE materializes both
+    # shuffle sides before it can convert the join), which measured
+    # ~45 ms CPU per 128 KB row on local[32]. Broadcasting the keeper
+    # ids keeps the payload scan in place. At a scale where the keeper
+    # set outgrows the driver, the production answer is a storage-
+    # bucketed (clip_id) join, not a shuffle of the payload.
+    kept = df.join(F.broadcast(keep_ids), id_col, "left_semi")
     edges = (
         ranked.filter(F.col("__rn") > 1)
         .select(F.col("__keeper").alias("id_a"), F.col(id_col).alias("id_b"))

@@ -84,6 +84,7 @@ class DedupPipeline:
         resume: bool = False,
         with_audio: bool = True,
         checkpoint_mode: str = "all",
+        payload_in_survivors: bool = True,
     ) -> PipelineResult:
         """checkpoint_mode:
         - "all": every stage materializes to the warehouse (finest
@@ -91,6 +92,11 @@ class DedupPipeline:
         - "min": only the north-rule stages (signatures / candidates /
           verified_pairs / clusters) checkpoint; cheap projections and
           windows stay lazy and fuse into the downstream stage.
+
+        payload_in_survivors: when False the survivors table carries
+        clip metadata but not ``bytes`` — the 100 TB shape: payloads are
+        immutable in the lake and are addressed by ``clip_id``, never
+        rewritten by the dedup job.
         """
         cfg = self.cfg
         metrics: list[StageMetric] = []
@@ -114,12 +120,21 @@ class DedupPipeline:
             payload_col="bytes" if with_audio else None, order_col="clip_id",
         )
         exact = maybe_stage(exact, "exact_dedup")
-        exact_edges = maybe_stage(exact_edges, "exact_edges")
+        # always materialize the (tiny) exact-dup edge list: left lazy it
+        # would re-run the payload digest scan inside the CC stage
+        exact_edges = self._stage(exact_edges, "exact_edges", resume, metrics)
 
         # ---- signatures (payload dropped after this stage) ----------------
-        # checkpoint tables read back as few partitions; spread the UDF
-        # work across the executors before the Arrow stages
-        exact = exact.repartition(cfg.shuffle_partitions)
+        # spread the Arrow-UDF work across every core — but only shuffle
+        # when the scan is genuinely under-partitioned (a single-file
+        # table or a tiny checkpoint read-back); a wide parquet scan is
+        # already parallel, and repartitioning it would push the whole
+        # binary payload through a shuffle for nothing. The session sets
+        # spark.sql.files.maxPartitionBytes=64m so payload scans split
+        # finely enough to keep every core busy without that shuffle.
+        cores = self.spark.sparkContext.defaultParallelism
+        if exact.rdd.getNumPartitions() < cores:
+            exact = exact.repartition(cores * 2)
         shingled = exact.withColumn(
             "shingles", X.char_shingles(F.col("transcript_norm"), cfg.shingle_k)
         ).withColumn("shingle_hashes", M.shingle_hashes(F.col("shingles")))
@@ -192,9 +207,11 @@ class DedupPipeline:
         clustered = maybe_stage(clustered, "components")
 
         # ---- outputs --------------------------------------------------------
+        meta_cols = ["clip_id", "sr_hz", "dur_ms", "codec", "transcript"]
+        if payload_in_survivors:
+            meta_cols.insert(1, "bytes")
         survivors = select_survivors(clustered).join(
-            clips.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"),
-            "clip_id",
+            clips.select(*meta_cols), "clip_id"
         )
         survivors = self._stage(survivors, "survivors", resume, metrics)
         clusters = cluster_summary(clustered)

@@ -65,12 +65,37 @@ def _encode(pcm: np.ndarray, codec: str) -> bytes:
     raise ValueError(codec)
 
 
-def _tone(rng: np.random.Generator, sr: int, dur_s: float) -> np.ndarray:
+def _tone(
+    rng: np.random.Generator, sr: int, dur_s: float, n_partials: int = 3
+) -> np.ndarray:
+    """Sum of random partials. 3 partials (test fixture) collide in the
+    64-band spectral space often enough to exercise the Hamming verify;
+    the large bench corpus uses 8 so distinct clips have distinct
+    spectra, like real audio."""
     t = np.arange(int(sr * dur_s)) / sr
-    freqs = rng.uniform(120, 2200, size=3)
-    amps = rng.uniform(0.1, 0.35, size=3)
+    freqs = rng.uniform(80, min(3500, sr / 2 * 0.9), size=n_partials)
+    amps = rng.uniform(0.05, 0.35, size=n_partials)
     sig = sum(a * np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi)) for f, a in zip(freqs, amps))
     return sig.astype(np.float64)
+
+
+_SYLLABLES = [
+    "ba", "do", "ri", "ku", "ta", "men", "sol", "ve", "na", "li", "po",
+    "shu", "gra", "tem", "wi", "zo", "kar", "mi", "fen", "dal", "ur", "ost",
+]
+
+
+def _filler_words(rng: np.random.Generator, n_words: int) -> str:
+    """Pseudo-word filler clause drawn from a combinatorially large
+    lexicon (22^2..22^4 forms) — gives every transcript the lexical
+    diversity of real speech so sub-threshold Jaccard between unrelated
+    clips stays low (template-only text put most random pairs at
+    J~0.4-0.6, flooding LSH candidate generation)."""
+    words = []
+    for _ in range(n_words):
+        k = int(rng.integers(2, 5))
+        words.append("".join(rng.choice(_SYLLABLES) for _ in range(k)))
+    return " ".join(words)
 
 
 def _add_noise(pcm: np.ndarray, rng: np.random.Generator, snr_db: float) -> np.ndarray:
@@ -79,11 +104,19 @@ def _add_noise(pcm: np.ndarray, rng: np.random.Generator, snr_db: float) -> np.n
     return pcm + rng.standard_normal(len(pcm)) * np.sqrt(p_noise)
 
 
-def _transcript(rng: np.random.Generator) -> str:
-    return " ".join([
+def _transcript(rng: np.random.Generator, tag: str | None = None) -> str:
+    """One news-style transcript. ``tag`` (an incident number) keeps
+    transcripts globally unique across groups — without it the 12x10x12x6
+    template space saturates around 10^4 clips and unrelated groups start
+    sharing *identical* transcripts, which no real corpus does (and which
+    quadratically inflates the candidate graph as the corpus grows)."""
+    parts = [
         rng.choice(EVENTS), rng.choice(VERBS), rng.choice(PLACES),
         "as", rng.choice(TAILS),
-    ])
+    ]
+    if tag is not None:
+        parts += ["incident", tag]
+    return " ".join(parts)
 
 
 def make_corpus_pdf(n_base: int = 500, seed: int = 42) -> pd.DataFrame:
@@ -136,3 +169,78 @@ def make_corpus_pdf(n_base: int = 500, seed: int = 42) -> pd.DataFrame:
 def make_corpus(spark: SparkSession, n_base: int = 500, seed: int = 42) -> DataFrame:
     pdf = make_corpus_pdf(n_base, seed)
     return spark.createDataFrame(pdf, schema=AUDIO_CLIPS_SCHEMA)
+
+
+def _group_rows(
+    gid: int, seed: int, dur_lo: float, dur_hi: float
+) -> list[dict]:
+    """All rows for one base clip (base + 0-1 planted dup), generated
+    from an rng keyed by (seed, gid) only — deterministic regardless of
+    partitioning, task order, or cluster size."""
+    rng = np.random.default_rng([seed, gid])
+    rows: list[dict] = []
+    base_date = np.datetime64("2023-05-01")
+
+    def add(pcm, sr, codec, transcript, date, suffix):
+        rows.append({
+            "clip_id": f"c{gid:08d}_{suffix}",
+            "bytes": _encode(pcm, codec),
+            "sr_hz": int(sr),
+            "dur_ms": int(1000 * len(pcm) / sr),
+            "codec": codec,
+            "transcript": transcript,
+            "event_date": pd.Timestamp(date).date(),
+            "group_id": f"g{gid:08d}",
+        })
+
+    sr = int(rng.choice([8000, 16000]))
+    dur = float(rng.uniform(dur_lo, dur_hi))
+    pcm = _tone(rng, sr, dur, n_partials=8)
+    codec = str(rng.choice(["pcm_s16le", "pcm_f32le"]))
+    text = _transcript(rng, tag=str(gid)) + " " + _filler_words(rng, int(rng.integers(6, 11)))
+    date = base_date + int(rng.integers(0, 60))
+    add(pcm, sr, codec, text, date, "base")
+
+    r = rng.uniform()
+    if r < 0.10:
+        add(pcm, sr, codec, text, date, "exact")
+    elif r < 0.20:
+        variant = text.upper() + "!!" if rng.uniform() < 0.5 else text + " | " + str(rng.choice(BOILER))
+        add(pcm, sr, codec, variant, date + int(rng.integers(0, 2)), "neartxt")
+    elif r < 0.27:
+        longer = text + " with " + " ".join(rng.choice(TAILS, size=2))
+        add(pcm, sr, codec, longer, date, "contain")
+    elif r < 0.35:
+        jitter = _add_noise(pcm * rng.uniform(0.6, 1.2), rng, snr_db=float(rng.uniform(34, 45)))
+        codec2 = "pcm_f32le" if rng.uniform() < 0.5 else codec
+        add(jitter, sr, codec2, _transcript(rng, tag=f"{gid}b"), date, "nearaud")
+    return rows
+
+
+def make_corpus_dist(
+    spark: SparkSession,
+    n_base: int,
+    seed: int = 42,
+    dur_lo: float = 0.25,
+    dur_hi: float = 0.9,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic corpus — same planted-dup mix as
+    ``make_corpus`` but generated executor-side with ``mapInPandas``
+    over ``spark.range`` (the driver never holds the payloads), so the
+    bench corpus scales to millions of clips. Row content depends only
+    on (seed, group id), never on partitioning."""
+    n_parts = partitions or spark.sparkContext.defaultParallelism * 2
+
+    def gen(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for gid in pdf["id"].tolist():
+                rows.extend(_group_rows(int(gid), seed, dur_lo, dur_hi))
+            out = pd.DataFrame(rows, columns=[f.name for f in AUDIO_CLIPS_SCHEMA.fields])
+            yield out
+
+    return (
+        spark.range(0, n_base, 1, n_parts)
+        .mapInPandas(gen, AUDIO_CLIPS_SCHEMA)
+    )
