@@ -130,6 +130,58 @@ def q_minhash_md5_signature(spark, sf_dir):
     return d.select("doc_id", *[slot(p) for p in range(4)])
 
 
+_SIMHASH_BITS = 16
+
+
+def _simhash16(d):
+    """16-bit text SimHash: bit j = majority over word tokens of the
+    MSB of hex digit j of md5(token). Same structure as the audio
+    SimHash (G1b) — sign of a per-bit sum of per-token ±1 votes — in a
+    form DuckDB computes identically (md5 + substring only)."""
+    words = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: F.length(w) > 0)
+    ex = d.select("doc_id", F.explode(words).alias("w")).withColumn("h", F.md5("w"))
+    votes = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1) >= F.lit("8"), 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    g = ex.groupBy("doc_id").agg(*votes)
+    bits = [
+        F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(_SIMHASH_BITS)
+    ]
+    return g.select("doc_id", F.concat(*bits).alias("simhash16"))
+
+
+def q_text_simhash(spark, sf_dir):
+    """G1b's text twin: SimHash signature per document (SURVEY.md §2.9)."""
+    return _simhash16(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_hamming_pairs(spark, sf_dir):
+    """SimHash near-dup decision: doc pairs (id < 100) with Hamming
+    distance <= 3 on the 16-bit signature — the text analogue of the
+    audio verify tier (bit_count(a^b) <= h)."""
+    sims = _simhash16(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    )
+    a = sims.select(F.col("doc_id").alias("id_a"), F.col("simhash16").alias("sa"))
+    b = sims.select(F.col("doc_id").alias("id_b"), F.col("simhash16").alias("sb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    ham = sum(
+        F.when(
+            F.substring("sa", j + 1, 1) != F.substring("sb", j + 1, 1), 1
+        ).otherwise(0)
+        for j in range(_SIMHASH_BITS)
+    )
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def q_jaccard_pairs_topk(spark, sf_dir):
     """J1/J3: exact shingle-Jaccard, top-20 pairs among doc_id < 60."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
@@ -468,6 +520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_count": q_shingle_count,
         "minhash_md5_signature": q_minhash_md5_signature,
         "jaccard_pairs_topk": q_jaccard_pairs_topk,
+        "text_simhash": q_text_simhash,
+        "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "lang_source_counts": q_lang_source_counts,
         "mode_event_type_per_user": q_mode_event_type_per_user,
         "session_count_per_user": q_session_count_per_user,
@@ -501,6 +555,36 @@ _NORM = (
     " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 )
 
+_SIMHASH_SQL = """
+            WITH toks AS (
+              SELECT d.doc_id, t.w FROM documents d,
+                   unnest(string_split(lower(d.text), ' ')) AS t(w)
+              WHERE t.w <> ''
+            ), votes AS (
+              SELECT doc_id,
+                   sum(CASE WHEN substring(md5(w), 1, 1) >= '8' THEN 1 ELSE -1 END) AS b0,
+                   sum(CASE WHEN substring(md5(w), 2, 1) >= '8' THEN 1 ELSE -1 END) AS b1,
+                   sum(CASE WHEN substring(md5(w), 3, 1) >= '8' THEN 1 ELSE -1 END) AS b2,
+                   sum(CASE WHEN substring(md5(w), 4, 1) >= '8' THEN 1 ELSE -1 END) AS b3,
+                   sum(CASE WHEN substring(md5(w), 5, 1) >= '8' THEN 1 ELSE -1 END) AS b4,
+                   sum(CASE WHEN substring(md5(w), 6, 1) >= '8' THEN 1 ELSE -1 END) AS b5,
+                   sum(CASE WHEN substring(md5(w), 7, 1) >= '8' THEN 1 ELSE -1 END) AS b6,
+                   sum(CASE WHEN substring(md5(w), 8, 1) >= '8' THEN 1 ELSE -1 END) AS b7,
+                   sum(CASE WHEN substring(md5(w), 9, 1) >= '8' THEN 1 ELSE -1 END) AS b8,
+                   sum(CASE WHEN substring(md5(w), 10, 1) >= '8' THEN 1 ELSE -1 END) AS b9,
+                   sum(CASE WHEN substring(md5(w), 11, 1) >= '8' THEN 1 ELSE -1 END) AS b10,
+                   sum(CASE WHEN substring(md5(w), 12, 1) >= '8' THEN 1 ELSE -1 END) AS b11,
+                   sum(CASE WHEN substring(md5(w), 13, 1) >= '8' THEN 1 ELSE -1 END) AS b12,
+                   sum(CASE WHEN substring(md5(w), 14, 1) >= '8' THEN 1 ELSE -1 END) AS b13,
+                   sum(CASE WHEN substring(md5(w), 15, 1) >= '8' THEN 1 ELSE -1 END) AS b14,
+                   sum(CASE WHEN substring(md5(w), 16, 1) >= '8' THEN 1 ELSE -1 END) AS b15
+              FROM toks GROUP BY doc_id
+            )
+            SELECT doc_id, (CASE WHEN b0 > 0 THEN '1' ELSE '0' END) || (CASE WHEN b1 > 0 THEN '1' ELSE '0' END) || (CASE WHEN b2 > 0 THEN '1' ELSE '0' END) || (CASE WHEN b3 > 0 THEN '1' ELSE '0' END) || (CASE WHEN b4 > 0 THEN '1' ELSE '0' END) || (CASE WHEN b5 > 0 THEN '1' ELSE '0' END) || (CASE WHEN b6 > 0 THEN '1' ELSE '0' END) || (CASE WHEN b7 > 0 THEN '1' ELSE '0' END) || (CASE WHEN b8 > 0 THEN '1' ELSE '0' END) || (CASE WHEN b9 > 0 THEN '1' ELSE '0' END) || (CASE WHEN b10 > 0 THEN '1' ELSE '0' END) || (CASE WHEN b11 > 0 THEN '1' ELSE '0' END) || (CASE WHEN b12 > 0 THEN '1' ELSE '0' END) || (CASE WHEN b13 > 0 THEN '1' ELSE '0' END) || (CASE WHEN b14 > 0 THEN '1' ELSE '0' END) || (CASE WHEN b15 > 0 THEN '1' ELSE '0' END) AS simhash16 FROM votes
+"""
+
+_SIMHASH_HAM = "(CASE WHEN substring(a.simhash16, 1, 1) <> substring(b.simhash16, 1, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 2, 1) <> substring(b.simhash16, 2, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 3, 1) <> substring(b.simhash16, 3, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 4, 1) <> substring(b.simhash16, 4, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 5, 1) <> substring(b.simhash16, 5, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 6, 1) <> substring(b.simhash16, 6, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 7, 1) <> substring(b.simhash16, 7, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 8, 1) <> substring(b.simhash16, 8, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 9, 1) <> substring(b.simhash16, 9, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 10, 1) <> substring(b.simhash16, 10, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 11, 1) <> substring(b.simhash16, 11, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 12, 1) <> substring(b.simhash16, 12, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 13, 1) <> substring(b.simhash16, 13, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 14, 1) <> substring(b.simhash16, 14, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 15, 1) <> substring(b.simhash16, 15, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 16, 1) <> substring(b.simhash16, 16, 1) THEN 1 ELSE 0 END)"
+
 _SHINGLES = (
     "SELECT DISTINCT d.doc_id, substring(d.text, CAST(n.i AS INT), 9) AS sh "
     "FROM documents d JOIN (SELECT unnest(generate_series(1, 4000)) AS i) n "
@@ -531,6 +615,15 @@ def oracle_sql() -> dict[str, str]:
                    min(md5('2:' || sh)) AS slot_2,
                    min(md5('3:' || sh)) AS slot_3
             FROM ({_SHINGLES}) GROUP BY doc_id
+        """,
+        "text_simhash": f"""{_SIMHASH_SQL}
+        """,
+        "simhash_hamming_pairs": f"""
+            WITH sims AS ({_SIMHASH_SQL.replace("FROM documents d", "FROM (SELECT * FROM documents WHERE doc_id < 100) d")})
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ({_SIMHASH_HAM}) AS hamming
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE ({_SIMHASH_HAM}) <= 3
         """,
         "jaccard_pairs_topk": f"""
             WITH sh AS ({_SHINGLES.replace("FROM documents d", "FROM (SELECT * FROM documents WHERE doc_id < 60) d")}),
