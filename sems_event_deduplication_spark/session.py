@@ -31,10 +31,6 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # shrink tiny shuffles to few tasks (latency) instead of padding
-        # them out to the cluster's parallelism — the iterative CC loop
-        # and stage-count jobs are latency-bound, not throughput-bound
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # payload-heavy scans: smaller splits keep all cores busy in the

@@ -196,6 +196,18 @@ def _group_rows(
     sr = int(rng.choice([8000, 16000]))
     dur = float(rng.uniform(dur_lo, dur_hi))
     pcm = _tone(rng, sr, dur, n_partials=8)
+    # per-clip band-limited noise: distinct clips get distinct spectral
+    # fingerprints (pure partials collide in the 64-band space at ~10^5
+    # clips, flooding the audio LSH buckets with false candidates);
+    # -20 dB relative, far above the 34-45 dB planted near-dup noise
+    spec = np.fft.rfft(rng.standard_normal(len(pcm)))
+    c = rng.uniform(0.05, 0.9); w = rng.uniform(0.02, 0.1)
+    mask = np.zeros(len(spec)); lo = int(c*len(spec)); hi = min(len(spec), int((c+w)*len(spec)) + 1)
+    mask[lo:hi] = 1.0
+    shaped = np.fft.irfft(spec * mask, n=len(pcm))
+    rms_sig = float(np.sqrt(np.mean(pcm**2))) or 1.0
+    rms_n = float(np.sqrt(np.mean(shaped**2))) or 1.0
+    pcm = pcm + shaped * (rms_sig / rms_n) * 0.1
     codec = str(rng.choice(["pcm_s16le", "pcm_f32le"]))
     text = _transcript(rng, tag=str(gid)) + " " + _filler_words(rng, int(rng.integers(6, 11)))
     date = base_date + int(rng.integers(0, 60))
