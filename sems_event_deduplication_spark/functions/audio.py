@@ -105,7 +105,26 @@ def spectral_fingerprint(
     total = band_e.sum()
     if total <= 1e-20:
         return np.zeros(n_bands, dtype=np.float64)
-    return np.sqrt(band_e / total).astype(np.float64)
+    # adjacent-band log-energy differences (Haitsma & Kalker, "A Highly
+    # Robust Audio Fingerprint System", ISMIR'02): exactly amplitude-
+    # invariant (gain shifts every log energy by the same constant) and
+    # free of the smooth spectral tilt every clip shares — raw energy
+    # shares made SimHash bits correlate across *unrelated* clips
+    # (sign(proj @ fp) was dominated by the common tilt), which
+    # concentrated LSH band buckets into a few hot values. The unit-norm
+    # difference vector keeps only clip-specific peak structure, giving
+    # near-unbiased independent bits for distinct spectra while noise at
+    # SNR >= ~30 dB still barely moves any single difference.
+    # floor at -60 dB of the peak band: bands holding only quantization
+    # noise flatten to identical values (zero diffs), so re-encoding
+    # s16 <-> f32 cannot flip their signs; real structure is unaffected
+    d = np.diff(np.log(np.maximum(band_e, band_e.max() * 1e-6)))
+    nrm = float(np.linalg.norm(d))
+    if nrm <= 0.0:
+        return np.zeros(n_bands, dtype=np.float64)
+    out = np.zeros(n_bands, dtype=np.float64)
+    out[: n_bands - 1] = d / nrm
+    return out
 
 
 def _projection(n_bands: int, bits: int, seed: int) -> np.ndarray:
