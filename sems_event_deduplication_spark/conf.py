@@ -27,15 +27,18 @@ class DedupConfig:
     est_margin: float = 0.25      # signature-estimate prefilter slack before exact verify
 
     # --- audio path ------------------------------------------------
-    simhash_bits: int = 64        # SimHash width over spectral fingerprint
+    simhash_bits: int = 128       # SimHash width over spectral fingerprint
+                                  # (2 int64 words; array<long> column)
     hamming_threshold: int = 3    # max Hamming distance for audio near-dup.
-    simhash_bands: int = 4        # 4 bands x 16 bits. Pigeonhole: hamming <= 3
+    simhash_bands: int = 4        # 4 bands x 32 bits. Pigeonhole: hamming <= 3
                                   # guarantees >= 1 band with zero flips, so
                                   # audio candidate recall is exactly 1.0 by
                                   # construction (true near-dups measure <= 2
                                   # bit flips at SNR >= 30 dB; see functions/
-                                  # audio.py). Wide bands keep random collisions
-                                  # ~65x lower than 8x8 banding.
+                                  # audio.py). 32-bit band keys collide by the
+                                  # birthday bound only past ~10^7 rows per
+                                  # partition of the key space (16-bit bands
+                                  # were flooding buckets at 10^5 rows).
     fft_frame: int = 1024         # samples per analysis frame
     fft_hop: int = 512
     n_mel_bands: int = 64         # log-spaced energy bands per frame

@@ -132,36 +132,52 @@ def _projection(n_bands: int, bits: int, seed: int) -> np.ndarray:
     return rng.standard_normal((bits, n_bands))
 
 
-def simhash_from_fingerprint(fp: np.ndarray, proj: np.ndarray) -> int:
+def _n_words(bits: int) -> int:
+    return (bits + 63) // 64
+
+
+def pack_bits_to_words(bit_flags: np.ndarray, bits: int) -> list[int]:
+    """bool array (length <= bits) -> little-endian int64 words.
+
+    Bit i lives in word i // 64 at position i % 64, so contiguous
+    band slices (``simhash_bands``) never straddle a word when the
+    band width divides 64.
+    """
+    n_w = _n_words(bits)
+    padded = np.zeros(n_w * 64, dtype=np.uint8)
+    padded[: len(bit_flags)] = bit_flags.astype(np.uint8)
+    return [int(w) for w in np.packbits(padded, bitorder="little").view("<u8").view(np.int64)]
+
+
+def simhash_from_fingerprint(fp: np.ndarray, proj: np.ndarray) -> list[int]:
+    """Sign projection -> list of int64 words (bits = proj rows)."""
     bits = (proj @ fp) > 0
-    word = np.uint64(0)
-    for i, b in enumerate(bits):
-        if b:
-            word |= np.uint64(1) << np.uint64(i)
-    return int(word.view(np.int64).item()) if hasattr(word, "view") else int(word)
+    return pack_bits_to_words(bits, len(bits))
 
 
 def make_audio_simhash_udf(
     frame: int, hop: int, n_bands: int, bits: int, seed: int
 ):
-    """pandas_udf (bytes, codec) -> bigint SimHash of the audio content."""
-    proj = _projection(n_bands, bits, seed)
+    """pandas_udf (bytes, codec) -> array<bigint> SimHash words.
 
-    @F.pandas_udf(T.LongType())
+    ``bits`` is the full signature width (128 default = 2 words): wide
+    signatures exist so the LSH bands can be wide — 16-bit band keys
+    collide by the birthday bound at ~10^5 rows, 32-bit at ~10^7, and
+    oversized buckets degrade recall through the star-edge cap."""
+    proj = _projection(n_bands, bits, seed)
+    n_w = _n_words(bits)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
     def audio_simhash(buf: pd.Series, codec: pd.Series) -> pd.Series:
-        out = np.empty(len(buf), dtype=np.int64)
+        out: list[list[int]] = []
         pm = proj  # local ref; broadcast once per executor via closure pickle
-        for i, (b, c) in enumerate(zip(buf, codec)):
+        zero = [0] * n_w
+        for b, c in zip(buf, codec):
             if b is None or len(b) == 0:
-                out[i] = 0
+                out.append(zero)
                 continue
             fp = spectral_fingerprint(decode_pcm(bytes(b), c), frame, hop, n_bands)
-            proj_bits = (pm @ fp) > 0
-            word = np.zeros(1, dtype=np.uint64)
-            word[0] = np.packbits(
-                np.pad(proj_bits.astype(np.uint8), (0, 64 - len(proj_bits))), bitorder="little"
-            ).view(np.uint64)[0]
-            out[i] = word.view(np.int64)[0]
+            out.append(pack_bits_to_words((pm @ fp) > 0, bits))
         return pd.Series(out)
 
     return audio_simhash
@@ -187,21 +203,40 @@ def make_snr_udf():
     return pair_snr
 
 
-def simhash_bands(sim: Column, n_bands: int, bits: int = 64) -> Column:
-    """Split a 64-bit SimHash into ``n_bands`` contiguous bit-slices.
+def simhash_bands(sim: Column, n_bands: int, bits: int = 128) -> Column:
+    """Split a multi-word SimHash (array<long>) into ``n_bands``
+    contiguous bit-slices; band width must divide 64 or be a multiple
+    of it so no slice straddles a word.
 
     Returns array<long> of band keys (band index folded in JVM-side).
     """
     width = bits // n_bands
-    mask = (1 << width) - 1
-    return F.array(
-        *[
-            F.xxhash64(F.lit(i), F.shiftright(sim, i * width).bitwiseAND(F.lit(mask)))
-            for i in range(n_bands)
-        ]
-    )
+    if width <= 64 and 64 % width != 0:
+        raise ValueError(f"band width {width} must divide 64")
+    if width > 64 and width % 64 != 0:
+        raise ValueError(f"band width {width} must be a multiple of 64")
+    keys = []
+    for i in range(n_bands):
+        lo = i * width
+        if width == 64:
+            keys.append(F.xxhash64(F.lit(i), F.element_at(sim, lo // 64 + 1)))
+        elif width < 64:
+            word = F.element_at(sim, lo // 64 + 1)
+            mask = (1 << width) - 1
+            keys.append(
+                F.xxhash64(F.lit(i), F.shiftright(word, lo % 64).bitwiseAND(F.lit(mask)))
+            )
+        else:  # width is a multiple of 64: hash the word span
+            span = [F.element_at(sim, lo // 64 + 1 + j) for j in range(width // 64)]
+            keys.append(F.xxhash64(F.lit(i), *span))
+    return F.array(*keys)
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
-    """bit_count(a XOR b) — native, codegen'd."""
-    return F.bit_count(a.bitwiseXOR(b))
+    """Σ bit_count(a[i] XOR b[i]) over the signature words — native,
+    codegen'd (zip_with + aggregate, no Python)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )

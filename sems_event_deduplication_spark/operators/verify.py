@@ -81,11 +81,11 @@ def verify_hamming(
     sim_col: str = "audio_simhash",
 ) -> DataFrame:
     """Audio candidates -> pairs with SimHash Hamming distance <= h."""
+    from ..functions.audio import hamming_distance
+
     sides = docs.select(id_col, sim_col)
     joined = attach_pair_sides(pairs, sides, [sim_col], id_col)
-    dist = F.bit_count(
-        F.col(f"{sim_col}_a").bitwiseXOR(F.col(f"{sim_col}_b"))
-    )
+    dist = hamming_distance(F.col(f"{sim_col}_a"), F.col(f"{sim_col}_b"))
     return (
         joined.withColumn("hamming", dist)
         .filter(F.col("hamming") <= F.lit(hamming_threshold))

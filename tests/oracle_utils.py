@@ -20,6 +20,7 @@ from sems_event_deduplication_spark.conf import DedupConfig
 from sems_event_deduplication_spark.functions.audio import (
     _projection,
     decode_pcm,
+    pack_bits_to_words,
     spectral_fingerprint,
 )
 
@@ -56,20 +57,16 @@ def jaccard_py(a: frozenset, b: frozenset) -> float:
     return inter / union if union else 0.0
 
 
-def simhash_py(buf: bytes, codec: str, cfg: DedupConfig) -> int:
+def simhash_py(buf: bytes, codec: str, cfg: DedupConfig) -> tuple[int, ...]:
     proj = _projection(cfg.n_mel_bands, cfg.simhash_bits, cfg.seed)
     fp = spectral_fingerprint(
         decode_pcm(buf, codec), cfg.fft_frame, cfg.fft_hop, cfg.n_mel_bands
     )
-    bits = (proj @ fp) > 0
-    w = np.packbits(
-        np.pad(bits.astype(np.uint8), (0, 64 - len(bits))), bitorder="little"
-    ).view(np.uint64)[0]
-    return int(np.array([w], dtype=np.uint64).view(np.int64)[0])
+    return tuple(pack_bits_to_words((proj @ fp) > 0, cfg.simhash_bits))
 
 
-def hamming_py(a: int, b: int) -> int:
-    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+def hamming_py(a, b) -> int:
+    return sum(bin((x ^ y) & ((1 << 64) - 1)).count("1") for x, y in zip(a, b))
 
 
 def oracle_components(
@@ -80,17 +77,8 @@ def oracle_components(
     norms = [normalize_py(t) for t in pdf["transcript"]]
     sets = [shingle_set_py(n, cfg.shingle_k) for n in norms]
     if with_audio:
-        proj = _projection(cfg.n_mel_bands, cfg.simhash_bits, cfg.seed)
-        sims = []
-        for buf, codec in zip(pdf["bytes"], pdf["codec"]):
-            fp = spectral_fingerprint(
-                decode_pcm(bytes(buf), codec), cfg.fft_frame, cfg.fft_hop, cfg.n_mel_bands
-            )
-            bits = (proj @ fp) > 0
-            w = np.packbits(
-                np.pad(bits.astype(np.uint8), (0, 64 - len(bits))), bitorder="little"
-            ).view(np.uint64)[0]
-            sims.append(int(w))
+        sims = [simhash_py(bytes(buf), codec, cfg)
+                for buf, codec in zip(pdf["bytes"], pdf["codec"])]
 
     g = nx.Graph()
     g.add_nodes_from(ids)
@@ -98,7 +86,7 @@ def oracle_components(
     for i, j in combinations(range(n), 2):
         if jaccard_py(sets[i], sets[j]) >= cfg.jaccard_threshold:
             g.add_edge(ids[i], ids[j])
-        elif with_audio and bin(sims[i] ^ sims[j]).count("1") <= cfg.hamming_threshold:
+        elif with_audio and hamming_py(sims[i], sims[j]) <= cfg.hamming_threshold:
             g.add_edge(ids[i], ids[j])
     out = {}
     for comp in nx.connected_components(g):

@@ -73,7 +73,7 @@ def test_simhash_invariances(spark):
     )
 
     def ham(a, b):
-        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        return sum(bin((x ^ y) & ((1 << 64) - 1)).count("1") for x, y in zip(a, b))
 
     assert ham(sigs["base_s16"], sigs["base_f32"]) <= 2   # re-encode
     assert ham(sigs["base_s16"], sigs["noisy"]) <= CFG.hamming_threshold
@@ -82,11 +82,17 @@ def test_simhash_invariances(spark):
 
 
 def test_hamming_expr_and_bands(spark):
-    df = spark.createDataFrame(pd.DataFrame({"a": [0b1011], "b": [0b0010]}))
+    df = spark.createDataFrame(pd.DataFrame({"a": [[0b1011, 0b1]], "b": [[0b0010, 0b1]]}))
     got = df.select(hamming_distance(F.col("a"), F.col("b")).alias("h")).collect()[0]["h"]
     assert got == 2
-    bands = df.select(simhash_bands(F.col("a"), 8).alias("bb")).collect()[0]["bb"]
+    bands = df.select(simhash_bands(F.col("a"), 8, bits=128).alias("bb")).collect()[0]["bb"]
     assert len(bands) == 8
+    # straddle-free slicing: flipping bit 37 changes band 2 (32-63) only
+    df2 = spark.createDataFrame(pd.DataFrame({"a": [[0b1011 | (1 << 37), 0b1]]}))
+    b1 = df.select(simhash_bands(F.col("a"), 8, bits=128).alias("bb")).collect()[0]["bb"]
+    b2 = df2.select(simhash_bands(F.col("a"), 8, bits=128).alias("bb")).collect()[0]["bb"]
+    diff = [i for i in range(8) if b1[i] != b2[i]]
+    assert diff == [2]
 
 
 def test_pair_snr_udf(spark):
