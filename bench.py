@@ -40,7 +40,7 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 AUDIO_N_BASE = int(os.environ.get("BENCH_AUDIO_N_BASE", "4000"))
-SCALING_N_BASE = int(os.environ.get("BENCH_SCALING_N_BASE", "60000"))
+SCALING_N_BASE = int(os.environ.get("BENCH_SCALING_N_BASE", "80000"))
 SCALING_DUR = (3.0, 6.0)
 
 

@@ -167,11 +167,13 @@ class DedupPipeline:
             cand_audio = None
 
         # ---- verify --------------------------------------------------------
+        # No pre-salting shuffle here: the verify equi-join hashes by
+        # id_a/id_b regardless, so a salt repartition is a wasted pass
+        # over the candidate table. Hot verify keys (one doc in many
+        # pairs) are handled by AQE skew-join splitting; lsh.salted()
+        # remains available for clusters running with AQE off.
         pairs_text = verify.verify_jaccard(
-            lsh.salted(cand_text, "id_a", cfg.salt_buckets).repartition(
-                cfg.shuffle_partitions, "__salt"
-            ).drop("__salt"),
-            sigs, cfg.num_perm, cfg.jaccard_threshold, cfg.est_margin,
+            cand_text, sigs, cfg.num_perm, cfg.jaccard_threshold, cfg.est_margin,
         ).withColumn("kind", F.lit("text"))
 
         contain = verify.containment_pairs(
@@ -204,7 +206,10 @@ class DedupPipeline:
         clustered = assign_components(
             normalized.select("clip_id", "transcript_norm"), comp
         )
-        clustered = maybe_stage(clustered, "components")
+        # always materialize: both the survivors and the clusters outputs
+        # consume this (lazy it would run the assign join twice), and the
+        # component assignment is the natural resume point after the CC loop
+        clustered = self._stage(clustered, "components", resume, metrics)
 
         # ---- outputs --------------------------------------------------------
         meta_cols = ["clip_id", "sr_hz", "dur_ms", "codec", "transcript"]
