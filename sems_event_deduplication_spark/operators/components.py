@@ -92,10 +92,13 @@ def connected_components(
 
     prev_fp = None
     for _ in range(max_iterations):
-        # lazy localCheckpoint: the fingerprint aggregate below is the
-        # one job that materializes this iteration (and truncates the
-        # plan for the next one)
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        # two alternating rounds per materialization: star rounds after
+        # the fixpoint are no-ops, so doubling up halves the number of
+        # driver jobs (the loop is latency-bound, not throughput-bound)
+        # without changing the result. The lazy localCheckpoint is
+        # materialized by the fingerprint aggregate — one job per pass —
+        # and truncates the plan for the next one.
+        e = _small_star(_large_star(_small_star(_large_star(e)))).localCheckpoint(eager=False)
         fp = _edge_fingerprint(e)
         if fp == prev_fp:
             break

@@ -156,6 +156,49 @@ def _contained_pairs_in_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["id_a", "id_b", "contained"])
 
 
+def _containment_scanner(max_bucket_size: int):
+    """mapInPandas function: per-partition suffix-array containment.
+
+    The input is repartitioned by (band_id, band_hash) and sorted within
+    partitions, so each bucket is contiguous; one Python call handles an
+    entire Arrow batch of buckets (an ``applyInPandas`` per-bucket
+    grouping paid ~ms of UDF dispatch per bucket — at ~10^5 buckets that
+    was the dominant verify cost). Buckets can straddle Arrow batch
+    boundaries, so the scanner carries the trailing open bucket over to
+    the next batch and flushes it at end of partition.
+    """
+
+    def scan(batches):
+        carry: pd.DataFrame | None = None
+
+        def process(pdf: pd.DataFrame):
+            outs = []
+            for _, grp in pdf.groupby(["band_id", "band_hash"], sort=False):
+                if 1 < len(grp) <= max_bucket_size:
+                    outs.append(_contained_pairs_in_group(grp))
+            return outs
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            # hold back the last (possibly incomplete) bucket
+            last_key = (pdf["band_id"].iloc[-1], pdf["band_hash"].iloc[-1])
+            is_last = (pdf["band_id"] == last_key[0]) & (pdf["band_hash"] == last_key[1])
+            carry = pdf[is_last]
+            done = pdf[~is_last]
+            for out in process(done):
+                if len(out):
+                    yield out
+        if carry is not None and len(carry):
+            for out in process(carry):
+                if len(out):
+                    yield out
+
+    return scan
+
+
 def containment_pairs(
     banded: DataFrame,
     docs: DataFrame,
@@ -164,33 +207,22 @@ def containment_pairs(
     text_col: str = "transcript_norm",
     n_bands: int = 2,
 ) -> DataFrame:
-    """Suffix-array containment verify, grouped per LSH bucket.
+    """Suffix-array containment verify over bucket-sorted partitions.
 
     Input ``banded`` = (clip_id, band_id, band_hash). Buckets above
     max_bucket_size are skipped (same cap as candidate generation).
     Only the first ``n_bands`` bands are scanned: near-identical docs
-    collide on (almost) every band, so scanning all 32 re-finds the
-    same pairs 32x while multiplying the Python group-call count —
-    this is the grouped-UDF cost lever at scale.
-    Returns distinct (id_a, id_b, contained=1).
+    collide on (almost) every band, so scanning all bands re-finds the
+    same pairs b times. Returns distinct (id_a, id_b, contained=1).
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band_id", "band_hash")
-    sized = (
-        banded.filter(F.col("band_id") < n_bands)
-        .withColumn("__n", F.count(F.lit(1)).over(w))
-        .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket_size))
-    )
-    with_text = sized.join(
+    with_text = banded.filter(F.col("band_id") < n_bands).join(
         docs.select(F.col(id_col).alias("clip_id"), F.col(text_col).alias("text")),
         "clip_id",
     )
-    found = (
+    part = (
         with_text.select("band_id", "band_hash", "clip_id", "text")
-        .groupBy("band_id", "band_hash")
-        .applyInPandas(
-            lambda _key, pdf: _contained_pairs_in_group(pdf), _CONTAIN_SCHEMA
-        )
+        .repartition("band_id", "band_hash")
+        .sortWithinPartitions("band_id", "band_hash")
     )
+    found = part.mapInPandas(_containment_scanner(max_bucket_size), _CONTAIN_SCHEMA)
     return found.groupBy("id_a", "id_b").agg(F.max("contained").alias("contained"))

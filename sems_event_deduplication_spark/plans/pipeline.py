@@ -69,11 +69,17 @@ class DedupPipeline:
         self.cfg = cfg
         self.wh = warehouse
 
-    def _stage(self, df: DataFrame, name: str, resume: bool, metrics: list[StageMetric]) -> DataFrame:
+    def _stage(
+        self, df: DataFrame, name: str, resume: bool,
+        metrics: list[StageMetric], count_rows: bool = True,
+    ) -> DataFrame:
         t0 = time.monotonic()
         out = self.wh.checkpoint(df, name, resume=resume)
         t1 = time.monotonic()
-        n = out.count()
+        # row counts are metrics sugar, not needed for correctness: in
+        # min-checkpoint mode every count is one more job on the
+        # latency floor, so the caller turns them off (rows = -1)
+        n = out.count() if count_rows else -1
         t2 = time.monotonic()
         metrics.append(StageMetric(name, n, t2 - t0, t1 - t0, t2 - t1))
         return out
@@ -102,9 +108,12 @@ class DedupPipeline:
         metrics: list[StageMetric] = []
         cp_all = checkpoint_mode == "all"
 
+        def stage(df: DataFrame, name: str) -> DataFrame:
+            return self._stage(df, name, resume, metrics, count_rows=cp_all)
+
         def maybe_stage(df: DataFrame, name: str) -> DataFrame:
             if cp_all:
-                return self._stage(df, name, resume, metrics)
+                return stage(df, name)
             return df
 
         # ---- normalize (native exprs only) -------------------------------
@@ -122,7 +131,7 @@ class DedupPipeline:
         exact = maybe_stage(exact, "exact_dedup")
         # always materialize the (tiny) exact-dup edge list: left lazy it
         # would re-run the payload digest scan inside the CC stage
-        exact_edges = self._stage(exact_edges, "exact_edges", resume, metrics)
+        exact_edges = stage(exact_edges, "exact_edges")
 
         # ---- signatures (payload dropped after this stage) ----------------
         # spread the Arrow-UDF work across every core — but only shuffle
@@ -132,8 +141,11 @@ class DedupPipeline:
         # binary payload through a shuffle for nothing. The session sets
         # spark.sql.files.maxPartitionBytes=64m so payload scans split
         # finely enough to keep every core busy without that shuffle.
+        # the partition count of the broadcast semi-join equals the scan's,
+        # and compiling `normalized`'s plan (projection over scan) is much
+        # cheaper than compiling the join for the same answer
         cores = self.spark.sparkContext.defaultParallelism
-        if exact.rdd.getNumPartitions() < cores:
+        if normalized.rdd.getNumPartitions() < cores:
             exact = exact.repartition(cores * 2)
         shingled = exact.withColumn(
             "shingles", X.char_shingles(F.col("transcript_norm"), cfg.shingle_k)
@@ -149,20 +161,20 @@ class DedupPipeline:
             sigs = sigs.withColumn("audio_simhash", ash(F.col("bytes"), F.col("codec"))).withColumn(
                 "audio_bands", A.simhash_bands(F.col("audio_simhash"), cfg.simhash_bands, cfg.simhash_bits)
             )
-        keep = ["clip_id", "transcript_norm", "shingles", "minhash_sig", "bands"]
+        keep = ["clip_id", "transcript_norm", "shingle_hashes", "minhash_sig", "bands"]
         if with_audio:
             keep += ["audio_simhash", "audio_bands"]
-        sigs = self._stage(sigs.select(*keep), "signatures", resume, metrics)
+        sigs = stage(sigs.select(*keep), "signatures")
 
         # ---- LSH candidates ------------------------------------------------
         banded_text = lsh.explode_bands(sigs, "clip_id", "bands")
         cand_text = lsh.candidate_pairs(banded_text, cfg.max_bucket_size)
-        cand_text = self._stage(cand_text, "candidates_text", resume, metrics)
+        cand_text = stage(cand_text, "candidates_text")
 
         if with_audio:
             banded_audio = lsh.explode_bands(sigs, "clip_id", "audio_bands")
             cand_audio = lsh.candidate_pairs(banded_audio, cfg.max_bucket_size)
-            cand_audio = self._stage(cand_audio, "candidates_audio", resume, metrics)
+            cand_audio = stage(cand_audio, "candidates_audio")
         else:
             cand_audio = None
 
@@ -172,8 +184,13 @@ class DedupPipeline:
         # over the candidate table. Hot verify keys (one doc in many
         # pairs) are handled by AQE skew-join splitting; lsh.salted()
         # remains available for clusters running with AQE off.
+        # exact Jaccard runs on the int64 shingle-hash arrays, not the
+        # 9-char string shingles: same value (xxhash64 collisions in
+        # ~10^2-element sets are ~2^-50) at a fraction of the join
+        # payload and intersect cost
         pairs_text = verify.verify_jaccard(
             cand_text, sigs, cfg.num_perm, cfg.jaccard_threshold, cfg.est_margin,
+            shingles_col="shingle_hashes",
         ).withColumn("kind", F.lit("text"))
 
         contain = verify.containment_pairs(
@@ -196,7 +213,7 @@ class DedupPipeline:
             F.max("jaccard").alias("jaccard"),
             F.sort_array(F.collect_set("kind")).alias("kinds"),
         )
-        verified = self._stage(verified, "verified_pairs", resume, metrics)
+        verified = stage(verified, "verified_pairs")
 
         # ---- connected components -----------------------------------------
         all_edges = verified.select("id_a", "id_b").unionByName(
@@ -209,7 +226,7 @@ class DedupPipeline:
         # always materialize: both the survivors and the clusters outputs
         # consume this (lazy it would run the assign join twice), and the
         # component assignment is the natural resume point after the CC loop
-        clustered = self._stage(clustered, "components", resume, metrics)
+        clustered = stage(clustered, "components")
 
         # ---- outputs --------------------------------------------------------
         meta_cols = ["clip_id", "sr_hz", "dur_ms", "codec", "transcript"]
@@ -218,9 +235,9 @@ class DedupPipeline:
         survivors = select_survivors(clustered).join(
             clips.select(*meta_cols), "clip_id"
         )
-        survivors = self._stage(survivors, "survivors", resume, metrics)
+        survivors = stage(survivors, "survivors")
         clusters = cluster_summary(clustered)
-        clusters = self._stage(clusters, "clusters", resume, metrics)
+        clusters = stage(clusters, "clusters")
 
         return PipelineResult(
             clusters=clusters, survivors=survivors, verified_pairs=verified,
