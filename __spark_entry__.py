@@ -116,7 +116,11 @@ def q_minhash_md5_signature(spark, sf_dir):
     slot_p = min over shingles of md5('p:' || shingle) — a real MinHash
     (md5 as the permutation), computable identically in DuckDB.
     """
-    d = _t(spark, sf_dir, "documents")
+    # single-file table reads back as one split; the 4 x md5-per-shingle
+    # transform is the priciest contract query, so spread it
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sh = char_shingles(F.col("text"), K)
 
     def slot(p: int):
