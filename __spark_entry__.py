@@ -517,6 +517,42 @@ def q_audio_dedup_clusters(spark, sf_dir):
     return res.clusters.select("component", "n_members", "survivor_id")
 
 
+def q_audio_offset_pairs(spark, sf_dir):
+    """Offset/containment audio dedup (Shazam-style landmark inverted
+    index, operators/audio_segments.py): planted short clips embedded
+    at arbitrary offsets inside longer hosts — not SQL-expressible
+    (binary audio), rows-only check."""
+    import numpy as np
+    import pandas as pd
+
+    from sems_event_deduplication_spark.conf import DedupConfig
+    from sems_event_deduplication_spark.operators.audio_segments import (
+        audio_offset_pairs,
+    )
+    from sems_event_deduplication_spark.synth import _encode, _tone
+
+    rng = np.random.default_rng(11)
+    sr = 16000
+    rows = []
+    for i in range(30):
+        clip = _tone(rng, sr, float(rng.uniform(1.0, 2.0)), n_partials=8)
+        rows.append({"clip_id": f"s{i:04d}", "bytes": _encode(clip, "pcm_s16le"),
+                     "codec": "pcm_s16le"})
+        if i < 8:
+            host = np.concatenate([
+                _tone(rng, sr, float(rng.uniform(0.5, 1.5)), n_partials=8),
+                clip,
+                _tone(rng, sr, float(rng.uniform(0.5, 1.5)), n_partials=8),
+            ])
+            rows.append({"clip_id": f"h{i:04d}", "bytes": _encode(host, "pcm_s16le"),
+                         "codec": "pcm_s16le"})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    return audio_offset_pairs(df, DedupConfig(), containment_threshold=0.8).select(
+        "id_a", "id_b",
+        F.round("containment", 6).alias("containment"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_keeplast": q_exact_dedup_keeplast,
@@ -545,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_heuristic": q_lang_id_heuristic,
         "stream_event_counts": q_stream_event_counts,
         "audio_dedup_clusters": q_audio_dedup_clusters,
+        "audio_offset_pairs": q_audio_offset_pairs,
     }
 
 

@@ -71,6 +71,23 @@ def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
     return 10.0 * np.log10(p_sig / p_noise)
 
 
+def _band_edges(n_bins: int, n_bands: int) -> np.ndarray:
+    """n_bands+1 strictly increasing log-spaced bin edges in [1, n_bins-1];
+    rounding collapses the low end, so gaps are back-filled linearly."""
+    edges = np.unique(
+        np.clip(
+            np.round(np.logspace(0, np.log10(n_bins - 1), n_bands + 1)).astype(np.int64),
+            1,
+            n_bins - 1,
+        )
+    )
+    if len(edges) < n_bands + 1:
+        have = set(edges.tolist())
+        fill = [x for x in range(1, n_bins) if x not in have][: n_bands + 1 - len(edges)]
+        edges = np.sort(np.concatenate([edges, np.asarray(fill, dtype=np.int64)]))
+    return edges
+
+
 def spectral_fingerprint(
     pcm: np.ndarray, frame: int = 1024, hop: int = 512, n_bands: int = 64
 ) -> np.ndarray:
@@ -88,19 +105,8 @@ def spectral_fingerprint(
     idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
     frames = pcm[idx] * _hann(frame)[None, :]
     mag = np.abs(np.fft.rfft(frames, axis=1))  # (n_frames, frame//2+1)
-    n_bins = mag.shape[1]
     # log-spaced band edges over the positive-frequency bins, all < n_bins
-    edges = np.unique(
-        np.clip(
-            np.round(np.logspace(0, np.log10(n_bins - 1), n_bands + 1)).astype(np.int64),
-            1,
-            n_bins - 1,
-        )
-    )
-    if len(edges) < n_bands + 1:  # low end collapses under rounding: fill gaps
-        have = set(edges.tolist())
-        fill = [x for x in range(1, n_bins) if x not in have][: n_bands + 1 - len(edges)]
-        edges = np.sort(np.concatenate([edges, np.asarray(fill, dtype=np.int64)]))
+    edges = _band_edges(mag.shape[1], n_bands)
     band_e = np.add.reduceat((mag * mag).sum(axis=0), edges[:-1])[:n_bands]
     total = band_e.sum()
     if total <= 1e-20:
@@ -181,6 +187,90 @@ def make_audio_simhash_udf(
         return pd.Series(out)
 
     return audio_simhash
+
+
+def audio_landmarks(
+    pcm: np.ndarray,
+    frame: int = 1024,
+    hop: int = 256,
+    peaks_per_frame: int = 5,
+    fan_out: int = 5,
+    max_dt: int = 32,
+) -> np.ndarray:
+    """Spectral-peak landmark hashes (Wang, "An Industrial-Strength
+    Audio Search Algorithm", ISMIR'03 — the Shazam constellation).
+
+    A landmark is (anchor peak bin, paired peak bin, frame delta),
+    hashed to one int64. Peaks live on the frequency axis (unaffected
+    by time offset) and the frame delta is a *difference* of times, so
+    both are invariant when the clip appears at an arbitrary offset
+    inside a longer recording — unlike raw per-frame fingerprints,
+    whose window phase shifts with (offset mod hop). The landmark SET
+    is therefore the audio analogue of a text shingle set: offset/
+    containment dups share most of it. Values feed the existing
+    MinHash/LSH machinery exactly like shingle hashes.
+    """
+    if len(pcm) < frame:
+        pcm = np.pad(pcm, (0, frame - len(pcm)))
+    n_frames = 1 + (len(pcm) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = pcm[idx] * _hann(frame)[None, :]
+    mag = np.abs(np.fft.rfft(frames, axis=1))  # (n_frames, n_bins)
+    n_bins = mag.shape[1]
+    # per-frame top-k local maxima above the frame median (noise gate)
+    left = np.zeros_like(mag); left[:, 1:] = mag[:, :-1]
+    right = np.zeros_like(mag); right[:, :-1] = mag[:, 1:]
+    gate = np.median(mag, axis=1, keepdims=True) * 4.0
+    is_peak = (mag > left) & (mag >= right) & (mag > gate)
+    scores = np.where(is_peak, mag, 0.0)
+    k = min(peaks_per_frame, n_bins)
+    top = np.argpartition(-scores, k - 1, axis=1)[:, :k]  # (n_frames, k)
+    peak_lists = []
+    for t in range(n_frames):
+        bins = top[t][scores[t, top[t]] > 0.0]
+        peak_lists.append(np.sort(bins))
+    # pair each anchor with the first `fan_out` peaks in later frames
+    out = []
+    for t, anchors in enumerate(peak_lists):
+        if len(anchors) == 0:
+            continue
+        paired = 0
+        for dt in range(1, min(max_dt, n_frames - t)):
+            targets = peak_lists[t + dt]
+            if len(targets) == 0:
+                continue
+            for a in anchors:
+                for b in targets:
+                    # quantize dt by 2 to absorb the ±1-frame grid jitter
+                    out.append((int(a) << 24) | (int(b) << 8) | (dt // 2))
+            paired += 1
+            if paired >= fan_out:
+                break
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.asarray(out, dtype=np.int64))
+
+
+def make_audio_landmark_udf(
+    frame: int, hop: int, peaks_per_frame: int = 5, fan_out: int = 5
+):
+    """pandas_udf (bytes, codec) -> array<long> distinct landmark
+    hashes ("audio shingles" for the offset/containment dedup path)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def landmarks(buf: pd.Series, codec: pd.Series) -> pd.Series:
+        out: list[list[int]] = []
+        for b, c in zip(buf, codec):
+            if b is None or len(b) == 0:
+                out.append([])
+                continue
+            lm = audio_landmarks(
+                decode_pcm(bytes(b), c), frame, hop, peaks_per_frame, fan_out
+            )
+            out.append([int(v) for v in lm])
+        return pd.Series(out)
+
+    return landmarks
 
 
 def make_snr_udf():

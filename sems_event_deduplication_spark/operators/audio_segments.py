@@ -1,0 +1,94 @@
+"""Offset/containment audio dedup: per-frame sub-fingerprint sets.
+
+The clip-level SimHash (functions/audio.py) decides "same recording,
+possibly re-encoded or noisy". It cannot see a clip *embedded* inside a
+longer one — the audio analogue of the text containment tier
+(SURVEY.md §2.9 G2, the suffix-array path). This operator closes that
+gap by treating each clip's set of spectral-peak landmark hashes
+(Wang's Shazam constellation, ISMIR'03 — offset-invariant by
+construction) as "audio shingles" and reusing the exact text machinery:
+
+    landmark set --explode--> inverted index (landmark -> clip)
+              --bucket-capped equi-self-join--> candidates with
+                n_shared landmark votes (Shazam's index lookup as a
+                join; MinHash-LSH would be wrong here — containment
+                pairs have LOW Jaccard by construction, small set vs
+                big set, which is exactly what band-LSH filters out)
+              --overlap verify--> (id_a, id_b, containment)
+
+containment = |A ∩ B| / min(|A|, |B|): 1.0 when the shorter clip's
+frames all occur in the longer one (the reference's max-denominator
+entity overlap at ``create_silver_label.py:424-430`` is the same shape;
+min-denominator is the containment-oriented variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..conf import DedupConfig
+from ..functions.audio import make_audio_landmark_udf
+from . import lsh
+
+
+def audio_segment_signatures(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(clip_id, bytes, codec) -> (clip_id, landmarks)."""
+    lm = make_audio_landmark_udf(cfg.fft_frame, cfg.fft_hop // 2)
+    return clips.select(
+        "clip_id", lm(F.col("bytes"), F.col("codec")).alias("landmarks")
+    )
+
+
+def verify_segment_overlap(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    containment_threshold: float,
+) -> DataFrame:
+    """Candidates -> (id_a, id_b, containment >= t).
+
+    Exact set overlap on the int64 landmark arrays, min-size
+    denominator (containment, not Jaccard — a 5 s clip inside a 60 s
+    host has tiny Jaccard but containment ~1).
+    """
+    from .verify import attach_pair_sides
+
+    sides = sigs.select("clip_id", "landmarks")
+    joined = attach_pair_sides(pairs, sides, ["landmarks"])
+    inter = F.size(F.array_intersect(F.col("landmarks_a"), F.col("landmarks_b")))
+    denom = F.least(F.size("landmarks_a"), F.size("landmarks_b"))
+    return (
+        joined.withColumn(
+            "containment",
+            F.when(denom > 0, inter / denom).otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("containment") >= F.lit(containment_threshold))
+        .select("id_a", "id_b", "containment")
+    )
+
+
+def audio_offset_pairs(
+    clips: DataFrame,
+    cfg: DedupConfig,
+    containment_threshold: float = 0.8,
+    min_shared_landmarks: int = 4,
+) -> DataFrame:
+    """End-to-end offset-audio dup pairs over an audio_clips table.
+
+    Candidates come from the landmark inverted index: explode the
+    landmark sets to (landmark -> clip_id) and reuse the bucket-capped
+    LSH self-join (a landmark shared by more than max_bucket_size
+    clips is a stop-landmark: its bucket degrades to star edges, and
+    such pairs only survive if rarer landmarks also vote). Pairs need
+    ``min_shared_landmarks`` co-occurrences before the exact-overlap
+    verify — single-landmark collisions are noise.
+    """
+    sigs = audio_segment_signatures(clips, cfg).persist()
+    inverted = sigs.select(
+        "clip_id", F.lit(0).alias("band_id"),
+        F.explode("landmarks").alias("band_hash"),
+    )
+    cands = lsh.candidate_pairs(inverted, cfg.max_bucket_size).filter(
+        F.col("n_shared_bands") >= min_shared_landmarks
+    )
+    return verify_segment_overlap(cands, sigs, containment_threshold)

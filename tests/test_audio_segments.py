@@ -1,0 +1,82 @@
+"""Offset/containment audio dedup (operators/audio_segments.py).
+
+The planted relation the clip-level SimHash cannot catch: a short clip
+embedded at an arbitrary offset inside a longer host recording.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sems_event_deduplication_spark.conf import DedupConfig
+from sems_event_deduplication_spark.functions.audio import (
+    audio_landmarks,
+    decode_pcm,
+)
+from sems_event_deduplication_spark.operators.audio_segments import audio_offset_pairs
+from sems_event_deduplication_spark.synth import _encode, _tone
+
+CFG = DedupConfig()
+
+
+def _corpus_with_offsets(n_base: int, n_planted: int, seed: int = 7) -> tuple[pd.DataFrame, set]:
+    """n_base distinct clips; n_planted of them also embedded inside a
+    longer host clip. Returns (pdf, expected offset pairs)."""
+    rng = np.random.default_rng(seed)
+    sr = 16000
+    rows, expected = [], set()
+    for i in range(n_base):
+        clip = _tone(rng, sr, float(rng.uniform(1.0, 2.0)), n_partials=8)
+        rows.append({"clip_id": f"s{i:04d}", "bytes": _encode(clip, "pcm_s16le"),
+                     "codec": "pcm_s16le"})
+        if i < n_planted:
+            pre = _tone(rng, sr, float(rng.uniform(0.5, 1.5)), n_partials=8)
+            post = _tone(rng, sr, float(rng.uniform(0.5, 1.5)), n_partials=8)
+            host = np.concatenate([pre, clip, post])
+            rows.append({"clip_id": f"h{i:04d}", "bytes": _encode(host, "pcm_s16le"),
+                         "codec": "pcm_s16le"})
+            expected.add((f"h{i:04d}", f"s{i:04d}"))
+    return pd.DataFrame(rows), expected
+
+
+def test_landmark_set_containment_property():
+    """The embedded clip's landmark set is ~contained in the host's
+    (at an arbitrary, non-hop-aligned offset); two unrelated clips
+    overlap ~nothing."""
+    rng = np.random.default_rng(0)
+    sr = 16000
+    clip = _tone(rng, sr, 1.5, n_partials=8)
+    pre = _tone(rng, sr, 1.013, n_partials=8)   # deliberately unaligned
+    post = _tone(rng, sr, 0.7, n_partials=8)
+    host = np.concatenate([pre, clip, post])
+    other = _tone(np.random.default_rng(99), sr, 1.5, n_partials=8)
+
+    def fps(x):
+        buf = _encode(x, "pcm_s16le")
+        return set(audio_landmarks(
+            decode_pcm(buf, "pcm_s16le"), CFG.fft_frame, CFG.fft_hop // 2,
+        ).tolist())
+
+    a, h, o = fps(clip), fps(host), fps(other)
+    contain = len(a & h) / min(len(a), len(h))
+    unrelated = len(a & o) / min(len(a), len(o))
+    assert contain >= 0.8, contain
+    assert unrelated < 0.3, unrelated
+
+
+def test_offset_pairs_end_to_end(spark):
+    pdf, expected = _corpus_with_offsets(n_base=40, n_planted=8)
+    df = spark.createDataFrame(pdf)
+    got = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+        for r in audio_offset_pairs(df, CFG, containment_threshold=0.8).collect()
+    }
+    exp = {(max(a, b), min(a, b)) for a, b in expected}
+    missed = exp - got
+    assert not missed, f"missed offset dups: {missed}"
+    extras = got - exp
+    # precision: no unrelated clips should reach 0.8 containment
+    assert len(extras) <= 1, f"unexpected pairs: {extras}"
