@@ -218,9 +218,15 @@ def audio_landmarks(
     mag = np.abs(np.fft.rfft(frames, axis=1))  # (n_frames, n_bins)
     n_bins = mag.shape[1]
     # per-frame top-k local maxima above the frame median (noise gate)
+    # AND above 30% of the frame max: marginal peaks that flicker around
+    # the gate under window-phase shifts would otherwise spawn large
+    # unstable landmark families and sink the containment overlap
     left = np.zeros_like(mag); left[:, 1:] = mag[:, :-1]
     right = np.zeros_like(mag); right[:, :-1] = mag[:, 1:]
-    gate = np.median(mag, axis=1, keepdims=True) * 4.0
+    gate = np.maximum(
+        np.median(mag, axis=1, keepdims=True) * 4.0,
+        mag.max(axis=1, keepdims=True) * 0.3,
+    )
     is_peak = (mag > left) & (mag >= right) & (mag > gate)
     scores = np.where(is_peak, mag, 0.0)
     k = min(peaks_per_frame, n_bins)
@@ -241,8 +247,13 @@ def audio_landmarks(
                 continue
             for a in anchors:
                 for b in targets:
-                    # quantize dt by 2 to absorb the ±1-frame grid jitter
+                    # emit both floor(dt/2) and ceil(dt/2): an offset that
+                    # is not a multiple of hop shifts peak frame indices by
+                    # ±1, and a single dt//2 quantization flips for odd
+                    # deltas — the two-sided emit guarantees each true
+                    # landmark still shares at least one hash
                     out.append((int(a) << 24) | (int(b) << 8) | (dt // 2))
+                    out.append((int(a) << 24) | (int(b) << 8) | ((dt + 1) // 2))
             paired += 1
             if paired >= fan_out:
                 break
