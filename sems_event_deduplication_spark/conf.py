@@ -43,6 +43,15 @@ class DedupConfig:
     fft_hop: int = 512
     n_mel_bands: int = 64         # log-spaced energy bands per frame
 
+    # --- offset/containment audio tier (operators/audio_segments.py) --
+    with_offset_audio: bool = False   # landmark inverted-index tier in the
+                                      # flagship pipeline (off by default:
+                                      # the synthetic planted dups are all
+                                      # full-clip relations; turn on for
+                                      # corpora with spliced/embedded audio)
+    landmark_containment: float = 0.8
+    landmark_min_shared: int = 4
+
     # --- candidate-join scale controls ------------------------------
     max_bucket_size: int = 256    # LSH buckets larger than this use star-edges
                                   # (member -> bucket-min) instead of all-pairs

@@ -209,6 +209,17 @@ class DedupPipeline:
             )
             verified = verified.unionByName(pairs_audio)
 
+        if with_audio and cfg.with_offset_audio:
+            from ..operators.audio_segments import audio_offset_pairs
+
+            offset_pairs = audio_offset_pairs(
+                clips, cfg, cfg.landmark_containment, cfg.landmark_min_shared
+            ).select(
+                "id_a", "id_b", F.lit(None).cast("double").alias("jaccard"),
+                F.lit("audio_offset").alias("kind"),
+            )
+            verified = verified.unionByName(offset_pairs)
+
         verified = verified.groupBy("id_a", "id_b").agg(
             F.max("jaccard").alias("jaccard"),
             F.sort_array(F.collect_set("kind")).alias("kinds"),

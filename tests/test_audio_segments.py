@@ -80,3 +80,25 @@ def test_offset_pairs_end_to_end(spark):
     extras = got - exp
     # precision: no unrelated clips should reach 0.8 containment
     assert len(extras) <= 1, f"unexpected pairs: {extras}"
+
+
+def test_pipeline_offset_tier(spark):
+    """with_offset_audio=True links embedded clips into the host's
+    component in the flagship pipeline."""
+    import tempfile
+
+    from sems_event_deduplication_spark.plans.pipeline import DedupPipeline
+    from sems_event_deduplication_spark.sources.warehouse import WarehouseIO
+
+    pdf, expected = _corpus_with_offsets(n_base=20, n_planted=4)
+    pdf["sr_hz"] = 16000
+    pdf["dur_ms"] = 1000
+    pdf["transcript"] = [f"unrelated transcript {i} kuri zalo ten" for i in range(len(pdf))]
+    df = spark.createDataFrame(pdf)
+    cfg = DedupConfig(with_offset_audio=True)
+    wh = WarehouseIO(spark, tempfile.mkdtemp(prefix="wh_offset_"))
+    res = DedupPipeline(spark, cfg, wh).run(df, with_audio=True)
+    comp = {r["clip_id"]: r["component"] for r in res.survivors.sparkSession.read.parquet(
+        wh._path("components")).collect()}
+    for host, short in expected:
+        assert comp[host] == comp[short], (host, short)
