@@ -500,6 +500,39 @@ def q_stream_event_counts(spark, sf_dir):
     )
 
 
+def q_stream_neardup_candidates(spark, sf_dir):
+    """Custom stateful streaming op (applyInPandasWithState): online
+    near-dup candidates over a documents stream, keyed state = bottom-k
+    sketches per bucket, event-time TTL. Rows-only (streaming)."""
+    import tempfile
+
+    from sems_event_deduplication_spark.streaming.stream_dedup import (
+        run_stream_to_memory, streaming_neardup_candidates,
+    )
+
+    # stage a small doc stream with a planted near-dup per 10 docs
+    src = tempfile.mkdtemp(prefix="stream_nd_entry_")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        F.concat(F.lit("d"), F.col("doc_id")).alias("clip_id"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(mins=F.col("doc_id").cast("int"))).alias("ts"),
+        F.col("text").alias("transcript"),
+    )
+    dups = docs.filter(F.col("clip_id").isin(["d3", "d13", "d23"])).select(
+        F.concat(F.col("clip_id"), F.lit("_dup")).alias("clip_id"),
+        (F.col("ts") + F.expr("INTERVAL 5 HOURS")).alias("ts"),
+        F.concat(F.col("transcript"), F.lit(" trailing edit")).alias("transcript"),
+    )
+    docs.unionByName(dups).write.mode("overwrite").json(src)
+    static = spark.read.json(src)
+    stream = spark.readStream.schema(static.schema).json(src)
+    pairs = streaming_neardup_candidates(stream, min_est_jaccard=0.5)
+    name = run_stream_to_memory(pairs, "q_stream_neardup_out", "append")
+    return spark.table(name).groupBy("id_new", "id_seen").agg(
+        F.max("est_jaccard").alias("est_jaccard")
+    )
+
+
 def q_audio_dedup_clusters(spark, sf_dir):
     """The flagship audio+text pipeline on the deterministic synthetic
     corpus (pandas/Arrow UDF path — not SQL-expressible)."""
@@ -580,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_type_entropy": q_user_type_entropy,
         "lang_id_heuristic": q_lang_id_heuristic,
         "stream_event_counts": q_stream_event_counts,
+        "stream_neardup_candidates": q_stream_neardup_candidates,
         "audio_dedup_clusters": q_audio_dedup_clusters,
         "audio_offset_pairs": q_audio_offset_pairs,
     }

@@ -64,6 +64,130 @@ def streaming_signature_counts(
     )
 
 
+NEARDUP_OUTPUT_SCHEMA = (
+    "id_new string, id_seen string, est_jaccard double"
+)
+NEARDUP_STATE_SCHEMA = "ids array<string>, sketches array<array<bigint>>"
+
+
+def streaming_neardup_candidates(
+    stream: DataFrame,
+    cfg=None,
+    watermark: str = "1 hour",
+    state_ttl_minutes: int = 60,
+    max_state_per_bucket: int = 64,
+    min_est_jaccard: float = 0.55,
+    sketch_k: int = 64,
+    n_bucket_keys: int = 4,
+) -> DataFrame:
+    """Online near-dup detection with explicit keyed state
+    (``applyInPandasWithState`` — the custom stateful operator the
+    batch path has no counterpart for).
+
+    Everything upstream of the state boundary is JVM-native: shingle
+    hashing (xxhash64 in a transform), a bottom-k (KMV) sketch via
+    ``array_sort`` + ``slice``, and the bucket keys = the ``n``
+    smallest shingle hashes (single-permutation bottom-k MinHash: two
+    docs share the global minimum with probability J, so n keys miss a
+    true near-dup with probability (1-J)^n — ~6e-4 at J=0.85, n=4).
+    This also sidesteps a Spark 4 planner gap where an ArrowEvalPython
+    stage feeding the stateful exchange loses its columnar->row
+    transition (ClassCastException: ColumnarBatchRow).
+
+    Per (bucket key) the state holds ids + bottom-k sketches of seen
+    members; a new arrival emits (id_new, id_seen, est_jaccard) for
+    members whose KMV-estimated Jaccard clears ``min_est_jaccard`` —
+    candidate generation + tier-1 verify online; exact verification and
+    CC remain batch jobs over the emitted pairs.
+
+    State is bounded two ways (non-negotiable over an unbounded
+    stream): a FIFO cap of ``max_state_per_bucket`` members per bucket
+    and an event-time timeout of ``state_ttl_minutes`` past the
+    watermark, after which idle buckets are evicted.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..conf import DedupConfig
+    from ..functions import minhash as M
+    from ..functions.text import char_shingles
+
+    cfg = cfg or DedupConfig()
+    signed = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("__norm", normalize_text(F.col("transcript")))
+        .withColumn(
+            "__sketch",
+            F.slice(
+                F.array_sort(M.shingle_hashes(char_shingles(F.col("__norm"), cfg.shingle_k))),
+                1, sketch_k,
+            ),
+        )
+        .select(
+            "clip_id", "ts", "__sketch",
+            F.explode(F.slice(F.col("__sketch"), 1, n_bucket_keys)).alias("bucket_key"),
+        )
+    )
+    ttl_ms = state_ttl_minutes * 60 * 1000
+
+    def est_jaccard(a: np.ndarray, b: np.ndarray, k: int) -> float:
+        """KMV estimator: among the k smallest of A ∪ B, the fraction
+        present in both sketches."""
+        union = np.union1d(a, b)[:k]
+        both = np.intersect1d(np.intersect1d(union, a), b)
+        return len(both) / max(1, len(union))
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids: list[str] = []
+        sketches: list[list[int]] = []
+        if state.exists:
+            prev_ids, prev_sk = state.get
+            ids, sketches = list(prev_ids), [list(x) for x in prev_sk]
+        out_rows = []
+        max_ts = None
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("ts").iterrows():
+                sk = np.asarray(row["__sketch"], dtype=np.int64)
+                for seen_id, seen_sk in zip(ids, sketches):
+                    est = est_jaccard(sk, np.asarray(seen_sk, dtype=np.int64), len(sk))
+                    if est >= min_est_jaccard:
+                        out_rows.append((row["clip_id"], seen_id, round(est, 6)))
+                ids.append(row["clip_id"])
+                sketches.append([int(v) for v in sk])
+                if len(ids) > max_state_per_bucket:
+                    ids = ids[-max_state_per_bucket:]
+                    sketches = sketches[-max_state_per_bucket:]
+                ts = row["ts"]
+                max_ts = ts if max_ts is None or ts > max_ts else max_ts
+        state.update((ids, sketches))
+        if max_ts is not None:
+            state.setTimeoutTimestamp(int(pd.Timestamp(max_ts).value // 1_000_000) + ttl_ms)
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=["id_new", "id_seen", "est_jaccard"])
+
+    # NB: a pair sharing several bucket keys is emitted once per key —
+    # dedup belongs to the downstream batch verify (adding a streaming
+    # dropDuplicates here also trips a Spark 4 planner gap: the stateful
+    # operator's columnar output reaches the dedup exchange without a
+    # columnar->row transition and dies with ClassCastException:
+    # ColumnarBatchRow).
+    return (
+        signed.withWatermark("ts", watermark)
+        .groupBy("bucket_key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=NEARDUP_OUTPUT_SCHEMA,
+            stateStructType=NEARDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(agg: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a bounded source to completion synchronously; returns the
     in-memory result table name."""

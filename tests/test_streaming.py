@@ -54,3 +54,47 @@ def test_streaming_signature_counts(spark, stream_dir):
     rows = spark.table(name).collect()
     assert sum(r["n_clips"] for r in rows) == 20
     assert all(r["approx_distinct_fps"] <= r["n_clips"] for r in rows)
+
+
+def test_streaming_neardup_candidates(spark):
+    """Stateful near-dup detection: planted near-identical transcripts
+    arriving later must pair with the earlier member; unrelated texts
+    must not pair."""
+    import tempfile
+
+    from sems_event_deduplication_spark.streaming.stream_dedup import (
+        streaming_neardup_candidates,
+    )
+
+    d = tempfile.mkdtemp(prefix="stream_nd_")
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(12):
+        rows.append({
+            "clip_id": f"a{i:02d}",
+            "ts": base + pd.Timedelta(minutes=i),
+            "transcript": f"cyclone eloise slams into mozambique incident {i} "
+                          f"kuri{i} zalo{i} tenka{i} dolmen{i}",
+        })
+    # late near-dups of a03 and a07 (one-word tail change)
+    rows.append({"clip_id": "dup03", "ts": base + pd.Timedelta(minutes=20),
+                 "transcript": "cyclone eloise slams into mozambique incident 3 "
+                               "kuri3 zalo3 tenka3 dolmen3 extra"})
+    rows.append({"clip_id": "dup07", "ts": base + pd.Timedelta(minutes=21),
+                 "transcript": "cyclone eloise slams into mozambique incident 7 "
+                               "kuri7 zalo7 tenka7 dolmen7 extra"})
+    path = os.path.join(d, "batch")
+    # row-based source: Spark 4's stateful-op planner misses the
+    # columnar->row transition between a vectorized parquet scan and the
+    # applyInPandasWithState exchange (ClassCastException: ColumnarBatchRow)
+    spark.createDataFrame(pd.DataFrame(rows)).write.json(path)
+    static = spark.read.json(path)
+    stream = spark.readStream.schema(static.schema).json(path)
+    pairs = streaming_neardup_candidates(stream, min_est_jaccard=0.5)
+    name = run_stream_to_memory(pairs, "t_stream_neardup", "append")
+    got = {(r["id_new"], r["id_seen"]) for r in spark.table(name).collect()}
+    assert ("dup03", "a03") in got, got
+    assert ("dup07", "a07") in got, got
+    # no pairings between distinct incidents
+    for n, s in got:
+        assert n.replace("dup", "") in s or s.replace("a", "") in n, (n, s)
