@@ -726,7 +726,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY user_id, event_type) WHERE rn = 1
         """,
         "session_count_per_user": """
-            SELECT user_id, sum(new_s) AS n_sessions FROM (
+            SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM (
               SELECT user_id,
                      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                           OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800

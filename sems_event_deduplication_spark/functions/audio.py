@@ -231,35 +231,51 @@ def audio_landmarks(
     scores = np.where(is_peak, mag, 0.0)
     k = min(peaks_per_frame, n_bins)
     top = np.argpartition(-scores, k - 1, axis=1)[:, :k]  # (n_frames, k)
-    peak_lists = []
-    for t in range(n_frames):
-        bins = top[t][scores[t, top[t]] > 0.0]
-        peak_lists.append(np.sort(bins))
-    # pair each anchor with the first `fan_out` peaks in later frames
-    out = []
-    for t, anchors in enumerate(peak_lists):
-        if len(anchors) == 0:
-            continue
-        paired = 0
-        for dt in range(1, min(max_dt, n_frames - t)):
-            targets = peak_lists[t + dt]
-            if len(targets) == 0:
-                continue
-            for a in anchors:
-                for b in targets:
-                    # emit both floor(dt/2) and ceil(dt/2): an offset that
-                    # is not a multiple of hop shifts peak frame indices by
-                    # ±1, and a single dt//2 quantization flips for odd
-                    # deltas — the two-sided emit guarantees each true
-                    # landmark still shares at least one hash
-                    out.append((int(a) << 24) | (int(b) << 8) | (dt // 2))
-                    out.append((int(a) << 24) | (int(b) << 8) | ((dt + 1) // 2))
-            paired += 1
-            if paired >= fan_out:
-                break
-    if not out:
+
+    # ---- fully vectorized pairing (no per-peak Python loops) ----------
+    # flatten the per-frame top-k into (peak_frame, peak_bin) arrays
+    valid = np.take_along_axis(scores, top, axis=1) > 0.0  # (n_frames, k)
+    counts = valid.sum(axis=1).astype(np.int64)  # peaks per frame
+    peak_bin = top[valid].astype(np.int64)  # flat, frame-major order
+    starts = np.zeros(n_frames + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    ne = np.nonzero(counts > 0)[0]  # non-empty frames, ascending
+
+    # anchor frame t pairs with the next `fan_out` non-empty frames
+    # within dt < max_dt: for each stride s the frame pairs are
+    # (ne[:-s], ne[s:]) — fan_out vectorized slices, no scan
+    ta_parts, tb_parts = [], []
+    for s in range(1, min(fan_out, len(ne) - 1) + 1):
+        ta, tb = ne[:-s], ne[s:]
+        keep = (tb - ta) < max_dt
+        ta_parts.append(ta[keep])
+        tb_parts.append(tb[keep])
+    if not ta_parts or not any(len(p) for p in ta_parts):
         return np.empty(0, dtype=np.int64)
-    return np.unique(np.asarray(out, dtype=np.int64))
+    ta = np.concatenate(ta_parts)
+    tb = np.concatenate(tb_parts)
+
+    # expand each (anchor frame, target frame) pair to the full
+    # anchors x targets cross product with repeat/arange arithmetic:
+    # combo c of pair p -> anchor A_p[c // b_p], target B_p[c % b_p]
+    na, nb = counts[ta], counts[tb]
+    sizes = na * nb
+    total = int(sizes.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    pair_of = np.repeat(np.arange(len(ta)), sizes)
+    offs = np.zeros(len(ta) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    c_local = np.arange(total, dtype=np.int64) - offs[pair_of]
+    a = peak_bin[starts[ta][pair_of] + c_local // nb[pair_of]]
+    b = peak_bin[starts[tb][pair_of] + c_local % nb[pair_of]]
+    dt = (tb - ta)[pair_of]
+    # emit both floor(dt/2) and ceil(dt/2): an offset that is not a
+    # multiple of hop shifts peak frame indices by ±1, and a single
+    # dt//2 quantization flips for odd deltas — the two-sided emit
+    # guarantees each true landmark still shares at least one hash
+    base = (a << 24) | (b << 8)
+    return np.unique(np.concatenate([base | (dt // 2), base | ((dt + 1) // 2)]))
 
 
 def make_audio_landmark_udf(

@@ -84,11 +84,17 @@ def audio_offset_pairs(
     verify — single-landmark collisions are noise.
     """
     sigs = audio_segment_signatures(clips, cfg).persist()
-    inverted = sigs.select(
-        "clip_id", F.lit(0).alias("band_id"),
-        F.explode("landmarks").alias("band_hash"),
-    )
-    cands = lsh.candidate_pairs(inverted, cfg.max_bucket_size).filter(
-        F.col("n_shared_bands") >= min_shared_landmarks
-    )
-    return verify_segment_overlap(cands, sigs, containment_threshold)
+    try:
+        inverted = sigs.select(
+            "clip_id", F.lit(0).alias("band_id"),
+            F.explode("landmarks").alias("band_hash"),
+        )
+        cands = lsh.candidate_pairs(inverted, cfg.max_bucket_size).filter(
+            F.col("n_shared_bands") >= min_shared_landmarks
+        )
+        # Materialize the (small) verified-pair set before releasing the
+        # cached signatures; without this the persist outlived the call
+        # and leaked executor storage for the rest of the application.
+        return verify_segment_overlap(cands, sigs, containment_threshold).localCheckpoint()
+    finally:
+        sigs.unpersist()

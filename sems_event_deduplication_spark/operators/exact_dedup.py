@@ -57,6 +57,8 @@ def exact_dedup_with_edges(
     text_col: str = "transcript_norm",
     payload_col: str | None = "bytes",
     order_col: str = "clip_id",
+    strategy: str = "anti_broadcast",
+    max_broadcast_ids: int = 20_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Exact dedup + the (kept_id, dropped_id) edge list.
 
@@ -68,9 +70,26 @@ def exact_dedup_with_edges(
     Shuffle shape (the 100 TB concern): the ranking window only ever
     sees the **narrow** projection (id, order, digests) — the binary
     payload never rides the digest shuffle. Payload rows re-attach via
-    a semi-join on ``id_col``; the keeper-id side is tiny relative to
-    the payload table, so AQE plans it as a broadcast join (on a real
-    cluster a table bucketed by ``clip_id`` makes it shuffle-free).
+    an id join whose plan is picked by ``strategy``:
+
+    - ``anti_broadcast`` (default): broadcast the **dropped**-id set and
+      ``left_anti``-join the payload table against it. The dropped set
+      is exactly what dedup removes — at a realistic dup rate it is a
+      small fraction of the corpus, unlike the keeper set (≈ all rows),
+      so the broadcast stays driver-safe even at 10⁹+ input rows.
+    - ``semi_broadcast``: broadcast the keeper ids + ``left_semi`` —
+      right only when the dup rate is huge (keepers ≪ dropped).
+    - ``shuffle``: plain ``left_anti`` with no broadcast hint — the
+      fallback when *both* id sets outgrow the driver; on a real
+      cluster pair it with tables bucketed by ``id_col``
+      (``WarehouseIO.save_bucketed``) so neither side exchanges.
+    - ``auto``: count the dropped ids (one cheap narrow job) and pick
+      ``anti_broadcast`` vs ``shuffle`` at ``max_broadcast_ids``.
+
+    The old unconditional keeper broadcast was a driver bomb at scale
+    (keepers ≈ all unique rows); explicit broadcast is still needed
+    because AQE materializes both shuffle sides before converting a
+    sort-merge join, which would exchange the payload.
     """
     key_names = ["__k_text"]
     digests = [F.sha2(F.col(text_col), 256).alias("__k_text")]
@@ -84,17 +103,23 @@ def exact_dedup_with_edges(
     ranked = narrow.withColumn("__rn", F.row_number().over(w)).withColumn(
         "__keeper", F.first(F.col(id_col)).over(w)
     )
-    keep_ids = ranked.filter(F.col("__rn") == 1).select(id_col)
-    # Explicit broadcast: letting the planner default to a sort-merge
-    # semi-join would exchange the payload rows (AQE materializes both
-    # shuffle sides before it can convert the join), which measured
-    # ~45 ms CPU per 128 KB row on local[32]. Broadcasting the keeper
-    # ids keeps the payload scan in place. At a scale where the keeper
-    # set outgrows the driver, the production answer is a storage-
-    # bucketed (clip_id) join, not a shuffle of the payload.
-    kept = df.join(F.broadcast(keep_ids), id_col, "left_semi")
     edges = (
         ranked.filter(F.col("__rn") > 1)
         .select(F.col("__keeper").alias("id_a"), F.col(id_col).alias("id_b"))
     )
+    dropped_ids = edges.select(F.col("id_b").alias(id_col))
+
+    if strategy == "auto":
+        n_dropped = dropped_ids.count()
+        strategy = "anti_broadcast" if n_dropped <= max_broadcast_ids else "shuffle"
+
+    if strategy == "anti_broadcast":
+        kept = df.join(F.broadcast(dropped_ids), id_col, "left_anti")
+    elif strategy == "semi_broadcast":
+        keep_ids = ranked.filter(F.col("__rn") == 1).select(id_col)
+        kept = df.join(F.broadcast(keep_ids), id_col, "left_semi")
+    elif strategy == "shuffle":
+        kept = df.join(dropped_ids, id_col, "left_anti")
+    else:
+        raise ValueError(f"unknown exact-dedup strategy: {strategy!r}")
     return kept, edges

@@ -46,8 +46,9 @@ def candidate_pairs(
     """(clip_id, band_id, band_hash) -> distinct (id_a, id_b), id_a < id_b.
 
     Small buckets: full intra-bucket pairs. Oversized buckets: star
-    edges to the bucket minimum (O(m), logged via n_star_buckets
-    metric column upstream if needed).
+    edges to the bucket minimum (O(m)); the recall degradation is
+    reported by ``bucket_stats`` — the pipeline runs it per banded
+    input and surfaces the counts in its stage metrics.
     """
     w = Window.partitionBy("band_id", "band_hash")
     sized = banded.withColumn("__bucket_n", F.count(F.lit(1)).over(w)).withColumn(
@@ -72,6 +73,33 @@ def candidate_pairs(
         .unionByName(big_pairs)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def bucket_stats(banded: DataFrame, max_bucket_size: int = 256) -> DataFrame:
+    """Observability for the star-edge cap: one row of bucket metrics.
+
+    The cap in ``candidate_pairs`` silently degrades oversized buckets
+    to star edges; recall lost there must be *visible*, not inferred.
+    Returns (n_buckets, n_star_buckets, n_star_members,
+    n_pairs_not_enumerated) where ``n_pairs_not_enumerated`` counts the
+    intra-bucket pairs a capped bucket did NOT emit (m·(m-1)/2 full
+    pairs minus the m-1 star edges). One narrow agg over the already
+    co-partitioned bucket key; cheap enough to run every pipeline run.
+    """
+    over = F.col("n") > max_bucket_size
+    sizes = banded.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(over, 1).otherwise(0)).alias("n_star_buckets"),
+        F.sum(F.when(over, F.col("n")).otherwise(0)).alias("n_star_members"),
+        F.sum(
+            F.when(
+                over, (F.col("n") * (F.col("n") - 1)) / 2 - (F.col("n") - 1)
+            ).otherwise(0)
+        ).cast("long").alias("n_pairs_not_enumerated"),
     )
 
 

@@ -8,8 +8,9 @@ Reference:
   key => ``same_event`` (with a date-prefix temporal comparison),
   different => ``different_event``.
 - cluster-size-stratified splits (``models/Datasets.py:16-41``) and
-  balanced random pairs (``:57-99``) — re-expressed as ``rand(seed)``
-  window pairing + ``sampleBy`` (deterministic under fixed seed).
+  balanced random pairs (``:57-99``) — re-expressed as seeded-hash
+  (``xxhash64(key, seed)``) window pairing + ``sampleBy``:
+  deterministic under fixed seed AND under repartitioning/retries.
 """
 
 from __future__ import annotations
@@ -101,9 +102,15 @@ def stratified_cluster_split(
     """Cluster-size-stratified train/val/test split (A9 + Datasets:16-41).
 
     Buckets clusters by size (>500 large, 100-500 medium, else small),
-    then assigns whole clusters to splits with rand(seed) ordered
-    round-robin within each bucket — every member of a cluster lands in
-    the same split (the reference's core requirement)."""
+    then assigns whole clusters to splits in a seeded-hash order within
+    each bucket — every member of a cluster lands in the same split
+    (the reference's core requirement).
+
+    The shuffle key is ``xxhash64(cluster, seed)``, NOT ``rand(seed)``:
+    rand's output depends on partition layout, so a different partition
+    count or a task retry would silently reassign train/val/test
+    membership. The hash is a pure function of the row — identical
+    splits under any repartitioning."""
     sizes = members.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("n"))
     bucketed = sizes.withColumn(
         "bucket",
@@ -111,7 +118,9 @@ def stratified_cluster_split(
         .when(F.col("n") > medium, "medium")
         .otherwise("small"),
     )
-    w = Window.partitionBy("bucket").orderBy(F.rand(seed), cluster_col)
+    w = Window.partitionBy("bucket").orderBy(
+        F.xxhash64(F.col(cluster_col), F.lit(seed)), cluster_col
+    )
     cum = (
         bucketed.withColumn("rn", F.row_number().over(w))
         .withColumn("tot", F.count(F.lit(1)).over(Window.partitionBy("bucket")))
@@ -134,9 +143,11 @@ def balanced_random_pairs(
     seed: int = 4,
 ) -> DataFrame:
     """Random disjoint pairing (``models/Datasets.py:72-73``): shuffle
-    by rand(seed), pair row 2i with 2i+1 via a pair-index window —
-    distributed, deterministic under the fixed seed."""
-    w = Window.orderBy(F.rand(seed), id_col)
+    by a seeded hash of the id, pair row 2i with 2i+1 via a pair-index
+    window. ``xxhash64(id, seed)`` rather than ``rand(seed)`` so the
+    pairing is a pure function of the data — identical under any
+    partition count or task retry."""
+    w = Window.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), id_col)
     idx = members.select(id_col).withColumn("rn", F.row_number().over(w))
     left = idx.filter(F.col("rn") % 2 == 1).select(
         ((F.col("rn") + 1) / 2).cast("long").alias("pair_id"),

@@ -38,11 +38,29 @@ def select_survivors(
 
 
 def cluster_summary(
-    clustered: DataFrame, cluster_col: str = "component"
+    clustered: DataFrame,
+    cluster_col: str = "component",
+    max_member_ids: int = 128,
 ) -> DataFrame:
-    """Per-cluster membership stats (lineage-facing)."""
-    return clustered.groupBy(cluster_col).agg(
+    """Per-cluster membership stats (lineage-facing).
+
+    ``member_ids`` is capped at the ``max_member_ids`` smallest ids: a
+    boilerplate mega-cluster — exactly what dedup finds — must not
+    produce an unbounded single row. The cap is applied *before*
+    aggregation (rank window + collect_list over a when(), which skips
+    nulls) so the agg buffer itself is bounded, not just the output.
+    The window and the groupBy share the ``cluster_col`` partitioning,
+    so this costs no extra exchange. ``n_members`` is always exact; the
+    full membership lives in the clustered table itself.
+    """
+    w = Window.partitionBy(cluster_col).orderBy("clip_id")
+    ranked = clustered.withColumn("__rk", F.row_number().over(w))
+    return ranked.groupBy(cluster_col).agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min("clip_id").alias("survivor_id"),
-        F.sort_array(F.collect_list("clip_id")).alias("member_ids"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("__rk") <= max_member_ids, F.col("clip_id"))
+            )
+        ).alias("member_ids"),
     )

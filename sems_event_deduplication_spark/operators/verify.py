@@ -215,7 +215,22 @@ def containment_pairs(
     collide on (almost) every band, so scanning all bands re-finds the
     same pairs b times. Returns distinct (id_a, id_b, contained=1).
     """
-    with_text = banded.filter(F.col("band_id") < n_bands).join(
+    # JVM-side bucket-size pre-filter BEFORE the text join: oversized
+    # (boilerplate mega-) buckets and singletons never ship their
+    # transcripts into Python. Without this, a hot bucket spanning many
+    # Arrow batches is repeatedly pd.concat-copied through the scanner's
+    # carry just to be discarded by the size check — the exact skew
+    # blowup the star-edge cap in lsh.candidate_pairs guards against.
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band_id", "band_hash")
+    sized = (
+        banded.filter(F.col("band_id") < n_bands)
+        .withColumn("__n", F.count(F.lit(1)).over(wb))
+        .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket_size))
+        .drop("__n")
+    )
+    with_text = sized.join(
         docs.select(F.col(id_col).alias("clip_id"), F.col(text_col).alias("text")),
         "clip_id",
     )

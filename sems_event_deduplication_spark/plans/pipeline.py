@@ -36,6 +36,36 @@ from ..operators.survivors import cluster_summary, select_survivors
 from ..sources.warehouse import WarehouseIO
 
 
+def _estimated_scan_partitions(df: DataFrame, max_partition_bytes: int = 64 << 20) -> int:
+    """Cheap estimate of a scan's task count, without compiling plans.
+
+    The old probe (``df.rdd.getNumPartitions()``) compiled the non-AQE
+    plan and forced an RDD conversion just to decide a repartition.
+    Instead: splittable parquet yields ~``ceil(bytes/maxPartitionBytes)``
+    tasks per file (session.py pins maxPartitionBytes=64m), floored at
+    one task per file. Non-file DataFrames (createDataFrame, memory
+    streams) report ``defaultParallelism`` — already well spread, no
+    repartition wanted.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return df.sparkSession.sparkContext.defaultParallelism
+    import os
+
+    n = 0
+    for f in files:
+        path = f[7:] if f.startswith("file://") else f.removeprefix("file:")
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            size = 0
+        n += max(1, -(-size // max_partition_bytes))
+    return n
+
+
 @dataclass
 class StageMetric:
     stage: str
@@ -51,9 +81,10 @@ class PipelineResult:
     survivors: DataFrame
     verified_pairs: DataFrame
     metrics: list[StageMetric] = field(default_factory=list)
+    lsh_stats: dict = field(default_factory=dict)
 
     def metrics_dict(self) -> dict:
-        return {
+        out = {
             m.stage: {
                 "rows": m.rows_out,
                 "sec": round(m.seconds, 3),
@@ -61,6 +92,9 @@ class PipelineResult:
             }
             for m in self.metrics
         }
+        if self.lsh_stats:
+            out["lsh_buckets"] = self.lsh_stats
+        return out
 
 
 class DedupPipeline:
@@ -141,11 +175,8 @@ class DedupPipeline:
         # binary payload through a shuffle for nothing. The session sets
         # spark.sql.files.maxPartitionBytes=64m so payload scans split
         # finely enough to keep every core busy without that shuffle.
-        # the partition count of the broadcast semi-join equals the scan's,
-        # and compiling `normalized`'s plan (projection over scan) is much
-        # cheaper than compiling the join for the same answer
         cores = self.spark.sparkContext.defaultParallelism
-        if normalized.rdd.getNumPartitions() < cores:
+        if _estimated_scan_partitions(normalized) < cores:
             exact = exact.repartition(cores * 2)
         shingled = exact.withColumn(
             "shingles", X.char_shingles(F.col("transcript_norm"), cfg.shingle_k)
@@ -167,12 +198,22 @@ class DedupPipeline:
         sigs = stage(sigs.select(*keep), "signatures")
 
         # ---- LSH candidates ------------------------------------------------
+        lsh_stats: dict = {}
+
+        def record_bucket_stats(kind: str, banded: DataFrame) -> None:
+            # observability for the silent star-edge cap: recall lost to
+            # oversized buckets must be visible in the run metrics
+            row = lsh.bucket_stats(banded, cfg.max_bucket_size).first()
+            lsh_stats[kind] = {k: int(v or 0) for k, v in row.asDict().items()}
+
         banded_text = lsh.explode_bands(sigs, "clip_id", "bands")
+        record_bucket_stats("text", banded_text)
         cand_text = lsh.candidate_pairs(banded_text, cfg.max_bucket_size)
         cand_text = stage(cand_text, "candidates_text")
 
         if with_audio:
             banded_audio = lsh.explode_bands(sigs, "clip_id", "audio_bands")
+            record_bucket_stats("audio", banded_audio)
             cand_audio = lsh.candidate_pairs(banded_audio, cfg.max_bucket_size)
             cand_audio = stage(cand_audio, "candidates_audio")
         else:
@@ -252,7 +293,7 @@ class DedupPipeline:
 
         return PipelineResult(
             clusters=clusters, survivors=survivors, verified_pairs=verified,
-            metrics=metrics,
+            metrics=metrics, lsh_stats=lsh_stats,
         )
 
     def throughput(self, result: PipelineResult, n_clips: int) -> dict:

@@ -131,12 +131,40 @@ def streaming_neardup_candidates(
     )
     ttl_ms = state_ttl_minutes * 60 * 1000
 
-    def est_jaccard(a: np.ndarray, b: np.ndarray, k: int) -> float:
-        """KMV estimator: among the k smallest of A ∪ B, the fraction
-        present in both sketches."""
-        union = np.union1d(a, b)[:k]
-        both = np.intersect1d(np.intersect1d(union, a), b)
-        return len(both) / max(1, len(union))
+    SENTINEL = np.iinfo(np.int64).max
+
+    def est_jaccard_many(
+        new_sk: np.ndarray, stored: np.ndarray, stored_len: np.ndarray
+    ) -> np.ndarray:
+        """Vectorized bottom-k KMV estimates of ``new_sk`` vs every
+        stored sketch: among the k smallest of A ∪ B the fraction
+        present in both, with k = min(|A|, |B|) — the standard KMV
+        truncation, so the estimate only counts the hash-value region
+        both sketches actually cover (a longer sketch beyond the
+        shorter one's coverage must not deflate the estimate).
+
+        ``stored`` is (m, K) sentinel-padded, each row sorted ascending
+        with sentinels last (bottom-k sketches are stored sorted). One
+        numpy broadcast replaces the former per-row-pandas loop.
+        """
+        m, K = stored.shape
+        ln = len(new_sk)
+        new_pad = np.full(K, SENTINEL, dtype=np.int64)
+        new_pad[:ln] = new_sk
+        merged = np.concatenate(
+            [stored, np.broadcast_to(new_pad, (m, K))], axis=1
+        )
+        merged.sort(axis=1)
+        real = merged < SENTINEL
+        is_first = np.ones_like(real)
+        is_first[:, 1:] = merged[:, 1:] != merged[:, :-1]
+        # unique-rank of each real value within the sorted union
+        rank = np.cumsum(is_first & real, axis=1)
+        k = np.minimum(stored_len, ln)[:, None]
+        # second occurrence of a duplicated value = present in both
+        # sketches (values are unique within each sketch)
+        both_in_bottom_k = (~is_first) & real & (rank <= k)
+        return both_in_bottom_k.sum(axis=1) / np.maximum(1, k[:, 0])
 
     def update(key, pdfs, state: GroupState):
         if state.hasTimedOut:
@@ -147,21 +175,42 @@ def streaming_neardup_candidates(
         if state.exists:
             prev_ids, prev_sk = state.get
             ids, sketches = list(prev_ids), [list(x) for x in prev_sk]
+
+        def padded(sk_list: list[int]) -> np.ndarray:
+            row = np.full(sketch_k, SENTINEL, dtype=np.int64)
+            row[: len(sk_list)] = sk_list
+            return row
+
+        stored_rows = [padded(s) for s in sketches]
+        stored_lens = [len(s) for s in sketches]
         out_rows = []
         max_ts = None
         for pdf in pdfs:
-            for _, row in pdf.sort_values("ts").iterrows():
-                sk = np.asarray(row["__sketch"], dtype=np.int64)
-                for seen_id, seen_sk in zip(ids, sketches):
-                    est = est_jaccard(sk, np.asarray(seen_sk, dtype=np.int64), len(sk))
-                    if est >= min_est_jaccard:
-                        out_rows.append((row["clip_id"], seen_id, round(est, 6)))
-                ids.append(row["clip_id"])
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("ts")
+            batch_ids = pdf["clip_id"].to_numpy()
+            batch_sks = pdf["__sketch"].to_list()
+            batch_ts = pdf["ts"].to_list()
+            for cid, sk_list, ts in zip(batch_ids, batch_sks, batch_ts):
+                sk = np.asarray(sk_list, dtype=np.int64)
+                if ids:
+                    ests = est_jaccard_many(
+                        sk,
+                        np.vstack(stored_rows),
+                        np.asarray(stored_lens, dtype=np.int64),
+                    )
+                    for hit in np.nonzero(ests >= min_est_jaccard)[0]:
+                        out_rows.append((cid, ids[hit], round(float(ests[hit]), 6)))
+                ids.append(cid)
                 sketches.append([int(v) for v in sk])
+                stored_rows.append(padded(sketches[-1]))
+                stored_lens.append(len(sk))
                 if len(ids) > max_state_per_bucket:
                     ids = ids[-max_state_per_bucket:]
                     sketches = sketches[-max_state_per_bucket:]
-                ts = row["ts"]
+                    stored_rows = stored_rows[-max_state_per_bucket:]
+                    stored_lens = stored_lens[-max_state_per_bucket:]
                 max_ts = ts if max_ts is None or ts > max_ts else max_ts
         state.update((ids, sketches))
         if max_ts is not None:
