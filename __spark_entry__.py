@@ -535,7 +535,22 @@ def q_stream_neardup_candidates(spark, sf_dir):
 
 def q_audio_dedup_clusters(spark, sf_dir):
     """The flagship audio+text pipeline on the deterministic synthetic
-    corpus (pandas/Arrow UDF path — not SQL-expressible)."""
+    corpus (pandas/Arrow UDF path — not SQL-expressible), returned as a
+    SELF-CHECKING result: one row per planted multi-member dup group
+    that the pipeline recovered EXACTLY (its members form one component,
+    and that component contains nothing else). The corpus sidecar
+    ``group_id`` is the planted truth (synth.py). Any recall loss drops
+    rows; any over-merge (two groups in one component) also drops rows —
+    so the driver's row count is a real oracle.
+
+    Expected rows: 56, stable across runs (corpus and pipeline are
+    deterministic). The corpus plants 67 multi-member groups, of which
+    exactly 56 are recoverable at the configured thresholds per the
+    independent in-memory oracle (``tests/oracle_utils.oracle_components``
+    — the rest contain an intentionally below-threshold variant); the
+    pipeline recovering exactly those 56 is the recall=precision=1.0
+    statement in row-count form.
+    """
     import tempfile
 
     from sems_event_deduplication_spark.conf import DedupConfig
@@ -546,15 +561,42 @@ def q_audio_dedup_clusters(spark, sf_dir):
     cfg = DedupConfig()
     clips = make_corpus(spark, n_base=200, seed=42)
     wh = WarehouseIO(spark, tempfile.mkdtemp(prefix="wh_entry_"))
-    res = DedupPipeline(spark, cfg, wh).run(clips, with_audio=True)
-    return res.clusters.select("component", "n_members", "survivor_id")
+    DedupPipeline(spark, cfg, wh).run(clips, with_audio=True)
+    members = wh.load_clean("components").select("clip_id", "component")
+    truth = clips.select("clip_id", "group_id")
+    j = members.join(truth, "clip_id")
+    per_group = j.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.count_distinct("component").alias("n_comp"),
+        F.min("component").alias("component"),
+    )
+    per_comp = j.groupBy("component").agg(
+        F.count_distinct("group_id").alias("n_groups"),
+        F.count(F.lit(1)).alias("comp_size"),
+    )
+    recovered = (
+        per_group.filter(F.col("n_comp") == 1)
+        .join(per_comp, "component")
+        .filter(
+            (F.col("n_groups") == 1)
+            & (F.col("comp_size") == F.col("n_members"))
+            & (F.col("n_members") >= 2)
+        )
+    )
+    return recovered.select("group_id", "n_members").orderBy("group_id")
 
 
 def q_audio_offset_pairs(spark, sf_dir):
     """Offset/containment audio dedup (Shazam-style landmark inverted
     index, operators/audio_segments.py): planted short clips embedded
     at arbitrary offsets inside longer hosts — not SQL-expressible
-    (binary audio), rows-only check."""
+    (binary audio), rows-only check.
+
+    SELF-CHECKING: exactly the 8 planted (short sNNNN, host hNNNN)
+    pairs must come back — the ``planted`` column marks id-suffix
+    agreement, and non-planted detections or misses change the row
+    count. Expected rows: 8, all with planted = true, stable across
+    runs (deterministic rng seed 11)."""
     import numpy as np
     import pandas as pd
 
@@ -583,7 +625,113 @@ def q_audio_offset_pairs(spark, sf_dir):
     return audio_offset_pairs(df, DedupConfig(), containment_threshold=0.8).select(
         "id_a", "id_b",
         F.round("containment", 6).alias("containment"),
+        (
+            (F.substring("id_a", 2, 4) == F.substring("id_b", 2, 4))
+            & (F.substring("id_a", 1, 1) != F.substring("id_b", 1, 1))
+        ).alias("planted"),
     )
+
+
+def _scored_events(spark, sf_dir):
+    """Deterministic label/prediction frame for the metrics queries:
+    label = event_type, prediction = the user's previous event type
+    (a lag-1 'persistence' predictor — a real confusion matrix)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("event_type").alias("label"),
+        F.lag("event_type").over(w).alias("prediction"),
+    ).filter(F.col("prediction").isNotNull())
+
+
+def q_classification_report(spark, sf_dir):
+    """A11 per-class P/R/F1 as groupBy arithmetic
+    (reference scorer: models/EventPairwiseTemporalityEvaluator.py:81-99)."""
+    from sems_event_deduplication_spark.operators.metrics import (
+        classification_report,
+    )
+
+    rep = classification_report(_scored_events(spark, sf_dir))
+    return rep.select(
+        "class", "support", "tp", "n_pred",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+def q_classification_summary(spark, sf_dir):
+    """A11 aggregate metrics (accuracy, macro/micro/weighted P/R/F1)."""
+    from sems_event_deduplication_spark.operators.metrics import (
+        classification_summary,
+    )
+
+    s = classification_summary(_scored_events(spark, sf_dir))
+    return s.select(
+        *[
+            F.round(c, 6).alias(c)
+            for c in (
+                "accuracy", "macro_precision", "macro_recall", "macro_f1",
+                "weighted_precision", "weighted_recall", "weighted_f1",
+                "micro_f1",
+            )
+        ],
+        "n_classes", "n_rows",
+    )
+
+
+def q_event_type_daily_peaks(spark, sf_dir):
+    """F16: daily event counts per type -> densify -> box low-pass ->
+    local-max peak flags (reference crawl_from_gdelt.py:53-92)."""
+    from sems_event_deduplication_spark.operators.timeseries import (
+        daily_event_peaks,
+    )
+
+    out = daily_event_peaks(_t(spark, sf_dir, "events"), min_height=2.0)
+    return out.select(
+        "series", "day", "n",
+        F.round("smoothed", 6).alias("smoothed"),
+        "is_peak",
+    )
+
+
+def q_wikidata_event_claims(spark, sf_dir):
+    """Nested-claims property extraction (reference get_events.py:19-44):
+    entities synthesized deterministically from the events table (time
+    under P585 or P580 by user parity, location under P131 / P276 / absent
+    by user mod 3), decoded with the declared map schema, then walked
+    with pure Catalyst exprs (element_at + getField + coalesce)."""
+    from sems_event_deduplication_spark.sources.wikidata import (
+        CLAIMS_TYPE, extract_event_claims,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    tprop = F.when(F.pmod("user_id", F.lit(2)) == 0, "P585").otherwise("P580")
+    lprop = F.when(F.pmod("user_id", F.lit(3)) == 0, F.lit("P131")).when(
+        F.pmod("user_id", F.lit(3)) == 1, F.lit("P276")
+    )
+    snak_t = F.concat(
+        F.lit('"'), tprop,
+        F.lit('":[{"mainsnak":{"datavalue":{"value":{"time":"+'),
+        F.date_format("ts", "yyyy-MM-dd"),
+        F.lit('T00:00:00Z"}}}}]'),
+    )
+    snak_l = F.when(
+        lprop.isNotNull(),
+        F.concat(
+            F.lit(',"'), lprop,
+            F.lit('":[{"mainsnak":{"datavalue":{"value":{"id":"Q'),
+            F.pmod("user_id", F.lit(97)).cast("string"),
+            F.lit('"}}}}]'),
+        ),
+    ).otherwise(F.lit(""))
+    entities = ev.select(
+        F.concat(F.lit("E"), F.col("event_id").cast("string")).alias("id"),
+        F.from_json(
+            F.concat(F.lit("{"), snak_t, snak_l, F.lit("}")), CLAIMS_TYPE
+        ).alias("claims"),
+    )
+    return extract_event_claims(entities)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -616,6 +764,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_neardup_candidates": q_stream_neardup_candidates,
         "audio_dedup_clusters": q_audio_dedup_clusters,
         "audio_offset_pairs": q_audio_offset_pairs,
+        "classification_report": q_classification_report,
+        "classification_summary": q_classification_summary,
+        "event_type_daily_peaks": q_event_type_daily_peaks,
+        "wikidata_event_claims": q_wikidata_event_claims,
     }
 
 
@@ -665,6 +817,33 @@ _SHINGLES = (
     "FROM documents d JOIN (SELECT unnest(generate_series(1, 4000)) AS i) n "
     "ON n.i <= length(d.text) - 8"
 )
+
+# shared scored-events confusion matrix for the A11 metrics oracles:
+# label = event_type, prediction = the user's previous event type
+_CLS_CONFUSION = """
+    SELECT class, support, tp, n_pred,
+           CASE WHEN n_pred > 0 THEN 1.0 * tp / n_pred ELSE 0 END AS precision,
+           CASE WHEN support > 0 THEN 1.0 * tp / support ELSE 0 END AS recall
+    FROM (
+      WITH scored AS (
+        SELECT event_type AS label,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prediction
+        FROM events),
+      s2 AS (SELECT * FROM scored WHERE prediction IS NOT NULL),
+      by_label AS (
+        SELECT label AS class, count(*) AS support,
+               CAST(sum(CASE WHEN prediction = label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp
+        FROM s2 GROUP BY 1),
+      by_pred AS (
+        SELECT prediction AS class, count(*) AS n_pred FROM s2 GROUP BY 1)
+      SELECT coalesce(l.class, p.class) AS class,
+             coalesce(l.support, 0) AS support,
+             coalesce(l.tp, 0) AS tp,
+             coalesce(p.n_pred, 0) AS n_pred
+      FROM by_label l FULL OUTER JOIN by_pred p ON l.class = p.class)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -871,5 +1050,109 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.source = src_a
             JOIN sizes sb ON sb.source = src_b
             WHERE n_inter / greatest(sa.n, sb.n) >= 0.5
+        """,
+        "classification_report": f"""
+            WITH m AS ({_CLS_CONFUSION})
+            SELECT class, support, tp, n_pred,
+                   round(precision, 6) AS precision,
+                   round(recall, 6) AS recall,
+                   round(CASE WHEN precision + recall > 0
+                         THEN 2 * precision * recall / (precision + recall)
+                         ELSE 0 END, 6) AS f1
+            FROM m
+        """,
+        "classification_summary": f"""
+            WITH m AS ({_CLS_CONFUSION}),
+            f AS (SELECT *,
+                   CASE WHEN precision + recall > 0
+                        THEN 2 * precision * recall / (precision + recall)
+                        ELSE 0 END AS f1 FROM m)
+            SELECT round(1.0 * sum(tp) / sum(support), 6) AS accuracy,
+                   round(avg(precision), 6) AS macro_precision,
+                   round(avg(recall), 6) AS macro_recall,
+                   round(avg(f1), 6) AS macro_f1,
+                   round(sum(precision * support) / sum(support), 6) AS weighted_precision,
+                   round(sum(recall * support) / sum(support), 6) AS weighted_recall,
+                   round(sum(f1 * support) / sum(support), 6) AS weighted_f1,
+                   round(1.0 * sum(tp) / sum(support), 6) AS micro_f1,
+                   count(*) AS n_classes,
+                   CAST(sum(support) AS BIGINT) AS n_rows
+            FROM f
+        """,
+        "event_type_daily_peaks": """
+            WITH counts AS (
+              SELECT event_type AS series, CAST(ts AS DATE) AS day,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2),
+            spans AS (SELECT series, min(day) AS d0, max(day) AS d1
+                      FROM counts GROUP BY 1),
+            grid AS (
+              SELECT series,
+                     CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                                 CAST(d1 AS TIMESTAMP),
+                                                 INTERVAL 1 DAY)) AS DATE) AS day
+              FROM spans),
+            dense AS (
+              SELECT g.series, g.day, coalesce(c.n, 0) AS n
+              FROM grid g LEFT JOIN counts c
+                ON c.series = g.series AND c.day = g.day),
+            sm AS (
+              SELECT series, day, n,
+                     avg(1.0 * n) OVER (PARTITION BY series ORDER BY day
+                                        ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+                       AS smoothed
+              FROM dense),
+            pk AS (
+              SELECT series, day, n, smoothed,
+                     lag(smoothed) OVER w AS prev,
+                     lead(smoothed) OVER w AS nxt
+              FROM sm WINDOW w AS (PARTITION BY series ORDER BY day))
+            SELECT series, day, n, round(smoothed, 6) AS smoothed,
+                   (prev IS NOT NULL AND nxt IS NOT NULL
+                    AND smoothed > prev AND smoothed >= nxt
+                    AND smoothed >= 2.0) AS is_peak
+            FROM pk
+        """,
+        "wikidata_event_claims": """
+            WITH src AS (
+              SELECT 'E' || CAST(event_id AS VARCHAR) AS entity_id,
+                     CASE WHEN user_id % 2 = 0 THEN 'P585' ELSE 'P580' END AS tprop,
+                     CASE WHEN user_id % 3 = 0 THEN 'P131'
+                          WHEN user_id % 3 = 1 THEN 'P276' END AS lprop,
+                     strftime(ts, '%Y-%m-%d') AS d,
+                     CAST(user_id % 97 AS VARCHAR) AS qid
+              FROM events),
+            js AS (
+              SELECT entity_id,
+                     '{"' || tprop
+                     || '":[{"mainsnak":{"datavalue":{"value":{"time":"+'
+                     || d || 'T00:00:00Z"}}}}]'
+                     || CASE WHEN lprop IS NOT NULL THEN
+                          ',"' || lprop
+                          || '":[{"mainsnak":{"datavalue":{"value":{"id":"Q'
+                          || qid || '"}}}}]'
+                        ELSE '' END
+                     || '}' AS claims
+              FROM src),
+            ex AS (
+              SELECT entity_id,
+                     coalesce(
+                       json_extract_string(claims, '$.P585[0].mainsnak.datavalue.value.time'),
+                       json_extract_string(claims, '$.P580[0].mainsnak.datavalue.value.time'),
+                       json_extract_string(claims, '$.P582[0].mainsnak.datavalue.value.time'),
+                       json_extract_string(claims, '$.P577[0].mainsnak.datavalue.value.time')
+                     ) AS event_time,
+                     coalesce(
+                       json_extract_string(claims, '$.P131[0].mainsnak.datavalue.value.id'),
+                       json_extract_string(claims, '$.P276[0].mainsnak.datavalue.value.id'),
+                       json_extract_string(claims, '$.P17[0].mainsnak.datavalue.value.id')
+                     ) AS location_id
+              FROM js)
+            SELECT entity_id, event_time,
+                   try_cast(regexp_extract(event_time,
+                       '^\\+?(\\d{4}-\\d{2}-\\d{2})', 1) AS DATE) AS event_date,
+                   location_id
+            FROM ex
+            WHERE event_time IS NOT NULL OR location_id IS NOT NULL
         """,
     }

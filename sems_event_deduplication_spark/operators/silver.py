@@ -148,6 +148,10 @@ def balanced_random_pairs(
     pairing is a pure function of the data — identical under any
     partition count or task retry."""
     w = Window.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), id_col)
+    return _pair_by_window(members, id_col, w)
+
+
+def _pair_by_window(members: DataFrame, id_col: str, w) -> DataFrame:
     idx = members.select(id_col).withColumn("rn", F.row_number().over(w))
     left = idx.filter(F.col("rn") % 2 == 1).select(
         ((F.col("rn") + 1) / 2).cast("long").alias("pair_id"),
@@ -158,3 +162,64 @@ def balanced_random_pairs(
         F.col(id_col).alias("id_b"),
     )
     return left.join(right, "pair_id").select("id_a", "id_b")
+
+
+def label_quota_pairs(
+    members: DataFrame,
+    labeler,
+    labels: list[str],
+    quota: int,
+    id_col: str = "clip_id",
+    seed: int = 4,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Label-quota balanced pair generation (``models/Datasets.py:57-99``).
+
+    The reference loops "draw random pairs, label them, count per
+    label" until every label reaches its quota, then samples down to
+    the quota. Same control flow here, but each round is one
+    distributed pairing pass (``balanced_random_pairs`` with
+    seed + round), the accumulated pair set is distinct-merged, and the
+    driver only ever sees the per-label counts (a bounded-iteration
+    driver loop like connected components — never the pairs
+    themselves). The final cap is a per-label row_number window ordered
+    by a seeded hash, so the sampled-down set is deterministic under
+    any partitioning.
+
+    ``labeler``: pairs(id_a, id_b) -> pairs + ``label`` column.
+    Returns at most ``quota`` pairs per label in ``labels`` (fewer only
+    if ``max_rounds`` pairing passes cannot produce enough — the
+    reference has the same failure mode, an infinite loop; bounding it
+    is the fix).
+    """
+    collected: DataFrame | None = None
+    for r in range(max_rounds):
+        labeled = labeler(
+            balanced_random_pairs(members, id_col, seed=seed + r)
+        ).filter(F.col("label").isin(labels))
+        collected = (
+            labeled
+            if collected is None
+            else collected.unionByName(labeled)
+            .groupBy("id_a", "id_b")
+            .agg(F.min("label").alias("label"))
+        )
+        # truncate lineage: the loop would otherwise double the plan
+        # per round (same device as the CC star rounds)
+        collected = collected.localCheckpoint()
+        counts = {
+            row["label"]: row["n"]
+            for row in collected.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if all(counts.get(lb, 0) >= quota for lb in labels):
+            break
+    w = Window.partitionBy("label").orderBy(
+        F.xxhash64(F.col("id_a"), F.col("id_b"), F.lit(seed)), "id_a", "id_b"
+    )
+    return (
+        collected.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )

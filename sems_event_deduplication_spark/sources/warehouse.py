@@ -79,6 +79,72 @@ class WarehouseIO:
         else:
             shutil.rmtree(self._path(name), ignore_errors=True)
 
+    def save_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_col: str,
+        n_buckets: int = 64,
+        sort: bool = True,
+    ) -> DataFrame:
+        """Write a hash-bucketed (and sorted) table keyed on
+        ``bucket_col`` — the shuffle-free join layout for the 100 TB
+        path: two tables bucketed the same way joined on the bucket key
+        plan as a SortMergeJoin with NO Exchange on either side (the
+        exact-dedup payload re-attach at a scale where neither id set
+        broadcasts). Bucketed output requires a catalog table
+        (``saveAsTable``); the data itself lives under the warehouse
+        dir as ordinary parquet."""
+        writer = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", self._path(name))
+            .bucketBy(n_buckets, bucket_col)
+        )
+        if sort:
+            writer = writer.sortBy(bucket_col)
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        writer.saveAsTable(name)
+        return self.spark.table(name)
+
+    def load_bucketed(self, name: str) -> DataFrame:
+        """Read a bucketed table back *as* a bucketed table (the plain
+        parquet path would lose the bucket metadata and re-shuffle)."""
+        return self.spark.table(name)
+
+    def checkpoint_chunked(
+        self,
+        df: DataFrame,
+        name: str,
+        chunk_expr,
+        n_chunks: int = 8,
+        resume: bool = False,
+    ) -> DataFrame:
+        """Mid-stage incremental commit (SURVEY.md S8): the stage's
+        output is written as ``n_chunks`` independently committed
+        parquet partitions (``chunk=i/_SUCCESS`` each), so a job killed
+        at chunk k resumes at chunk k — the reference's
+        every-N-batches partial save (``create_silver_label.py:103-106``)
+        without its atomicity hole (a chunk is either fully committed or
+        recomputed).
+
+        ``chunk_expr``: either a column name (hashed into ``n_chunks``
+        chunks) or a Column already in [0, n_chunks). Pass an expression
+        aligned with the *input* partitioning (e.g. a date bucket) and
+        each chunk's pass prunes its scan to its own slice — that is the
+        100 TB shape; a hash of the id re-scans the input per chunk and
+        is only sensible when the upstream is itself a checkpoint."""
+        if isinstance(chunk_expr, str):
+            chunk_expr = F.pmod(F.xxhash64(F.col(chunk_expr)), F.lit(n_chunks))
+        base = self._path(name)
+        for i in range(n_chunks):
+            sub = os.path.join(base, f"chunk={i}")
+            if resume and os.path.exists(os.path.join(sub, "_SUCCESS")):
+                continue
+            df.filter(chunk_expr == i).write.mode("overwrite").parquet(sub)
+        out = self.spark.read.option("basePath", base).parquet(base)
+        return out.drop("chunk")
+
     def checkpoint(self, df: DataFrame, name: str, resume: bool = False) -> DataFrame:
         """Write-through checkpoint: reuse a committed table when
         ``resume``; otherwise compute, persist, and read back (which

@@ -70,6 +70,40 @@ NEARDUP_OUTPUT_SCHEMA = (
 NEARDUP_STATE_SCHEMA = "ids array<string>, sketches array<array<bigint>>"
 
 
+def kmv_est_many(new_sk, stored, stored_len):
+    """Vectorized bottom-k KMV Jaccard estimates of ``new_sk`` vs every
+    stored sketch: among the k smallest of A ∪ B the fraction present
+    in both, with k = min(|A|, |B|) — the standard KMV truncation, so
+    the estimate only counts the hash-value region both sketches
+    actually cover (a longer sketch beyond the shorter one's coverage
+    must not deflate the estimate).
+
+    ``stored`` is (m, K) sentinel-padded (``np.iinfo(int64).max``),
+    each row sorted ascending with sentinels last (bottom-k sketches
+    are stored sorted). One numpy broadcast replaces a per-row-pandas
+    loop.
+    """
+    import numpy as np
+
+    sentinel = np.iinfo(np.int64).max
+    m, K = stored.shape
+    ln = len(new_sk)
+    new_pad = np.full(K, sentinel, dtype=np.int64)
+    new_pad[:ln] = new_sk
+    merged = np.concatenate([stored, np.broadcast_to(new_pad, (m, K))], axis=1)
+    merged.sort(axis=1)
+    real = merged < sentinel
+    is_first = np.ones_like(real)
+    is_first[:, 1:] = merged[:, 1:] != merged[:, :-1]
+    # unique-rank of each real value within the sorted union
+    rank = np.cumsum(is_first & real, axis=1)
+    k = np.minimum(stored_len, ln)[:, None]
+    # second occurrence of a duplicated value = present in both
+    # sketches (values are unique within each sketch)
+    both_in_bottom_k = (~is_first) & real & (rank <= k)
+    return both_in_bottom_k.sum(axis=1) / np.maximum(1, k[:, 0])
+
+
 def streaming_neardup_candidates(
     stream: DataFrame,
     cfg=None,
@@ -132,39 +166,7 @@ def streaming_neardup_candidates(
     ttl_ms = state_ttl_minutes * 60 * 1000
 
     SENTINEL = np.iinfo(np.int64).max
-
-    def est_jaccard_many(
-        new_sk: np.ndarray, stored: np.ndarray, stored_len: np.ndarray
-    ) -> np.ndarray:
-        """Vectorized bottom-k KMV estimates of ``new_sk`` vs every
-        stored sketch: among the k smallest of A ∪ B the fraction
-        present in both, with k = min(|A|, |B|) — the standard KMV
-        truncation, so the estimate only counts the hash-value region
-        both sketches actually cover (a longer sketch beyond the
-        shorter one's coverage must not deflate the estimate).
-
-        ``stored`` is (m, K) sentinel-padded, each row sorted ascending
-        with sentinels last (bottom-k sketches are stored sorted). One
-        numpy broadcast replaces the former per-row-pandas loop.
-        """
-        m, K = stored.shape
-        ln = len(new_sk)
-        new_pad = np.full(K, SENTINEL, dtype=np.int64)
-        new_pad[:ln] = new_sk
-        merged = np.concatenate(
-            [stored, np.broadcast_to(new_pad, (m, K))], axis=1
-        )
-        merged.sort(axis=1)
-        real = merged < SENTINEL
-        is_first = np.ones_like(real)
-        is_first[:, 1:] = merged[:, 1:] != merged[:, :-1]
-        # unique-rank of each real value within the sorted union
-        rank = np.cumsum(is_first & real, axis=1)
-        k = np.minimum(stored_len, ln)[:, None]
-        # second occurrence of a duplicated value = present in both
-        # sketches (values are unique within each sketch)
-        both_in_bottom_k = (~is_first) & real & (rank <= k)
-        return both_in_bottom_k.sum(axis=1) / np.maximum(1, k[:, 0])
+    est_jaccard_many = kmv_est_many
 
     def update(key, pdfs, state: GroupState):
         if state.hasTimedOut:

@@ -39,6 +39,53 @@ def test_exact_dedup_edges_connect_drops_to_keeper(spark):
     assert e == {("c3", "c1"), ("c3", "c2")}
 
 
+def test_exact_dedup_strategies_agree_and_plan_shapes(spark):
+    """All payload re-attach strategies return identical keepers/edges;
+    the broadcast branches must show a BroadcastHashJoin and the
+    shuffle branch must not broadcast (it's the bucketed-table path)."""
+    pdf = pd.DataFrame(
+        {
+            "clip_id": [f"c{i:02d}" for i in range(20)],
+            "transcript_norm": [f"t{i % 7}" for i in range(20)],
+            "bytes": [bytes([i % 7]) for i in range(20)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    results = {}
+    for strat in ("anti_broadcast", "semi_broadcast", "shuffle", "auto"):
+        kept, edges = exact_dedup_with_edges(df, strategy=strat)
+        results[strat] = (
+            {r["clip_id"] for r in kept.collect()},
+            {(r["id_a"], r["id_b"]) for r in edges.collect()},
+        )
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        if strat in ("anti_broadcast", "semi_broadcast"):
+            assert "BroadcastHashJoin" in plan
+    base = results["anti_broadcast"]
+    assert all(v == base for v in results.values())
+    # auto with a zero threshold must take the shuffle branch
+    kept_big, _ = exact_dedup_with_edges(df, strategy="auto", max_broadcast_ids=0)
+    assert {r["clip_id"] for r in kept_big.collect()} == base[0]
+
+
+def test_exact_dedup_anti_broadcast_payload_never_shuffles(spark):
+    """The default branch broadcasts the dropped ids: the payload side
+    of the anti-join must sit directly on the scan with no Exchange."""
+    pdf = pd.DataFrame(
+        {
+            "clip_id": ["c1", "c2", "c3"],
+            "transcript_norm": ["same", "same", "solo"],
+            "bytes": [b"x", b"x", b"z"],
+        }
+    )
+    kept, _ = exact_dedup_with_edges(spark.createDataFrame(pdf))
+    kept.collect()  # AQE: the final plan exists only after execution
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    anti = plan[plan.index("BroadcastHashJoin") :]
+    left_side = anti[: anti.index("BroadcastExchange")]
+    assert "Exchange hashpartitioning" not in left_side
+
+
 def test_exact_dedup_distinguishes_payloads(spark):
     pdf = pd.DataFrame(
         {

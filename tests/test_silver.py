@@ -80,3 +80,71 @@ def test_balanced_random_pairs(spark):
     assert len(pairs) == 5
     used = [r["id_a"] for r in pairs] + [r["id_b"] for r in pairs]
     assert len(set(used)) == 10  # disjoint pairing covers everyone once
+
+
+def test_split_identical_under_repartition(spark):
+    """xxhash64 ordering: split membership must be a pure function of
+    the data, not of partition layout (rand(seed) was not)."""
+    rows = [(f"x{c}{i}", f"cl{c}") for c in range(40) for i in range(2)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["clip_id", "merged_component"]))
+    base = {
+        (r["clip_id"], r["split"])
+        for r in stratified_cluster_split(df, seed=420).collect()
+    }
+    for k in (1, 3, 17):
+        again = {
+            (r["clip_id"], r["split"])
+            for r in stratified_cluster_split(df.repartition(k), seed=420).collect()
+        }
+        assert again == base
+
+
+def test_pairing_identical_under_repartition(spark):
+    df = spark.createDataFrame(pd.DataFrame({"clip_id": [f"p{i:02d}" for i in range(20)]}))
+    base = {tuple(r) for r in balanced_random_pairs(df, seed=4).collect()}
+    for k in (1, 5):
+        again = {
+            tuple(r)
+            for r in balanced_random_pairs(df.repartition(k), seed=4).collect()
+        }
+        assert again == base
+
+
+def test_label_quota_pairs(spark):
+    """Datasets.py:57-99 semantics: keep drawing pairing rounds until
+    every requested label reaches its quota, then cap at quota."""
+    from sems_event_deduplication_spark.operators.silver import label_quota_pairs
+
+    # 60 members in 12 same-clusters of 5 -> random pairing yields both
+    # same_event and different_event pairs each round
+    rows = [(f"m{c:02d}{i}", f"cl{c:02d}") for c in range(12) for i in range(5)]
+    members = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["clip_id", "merged_component"])
+    )
+    truth = {r: c for r, c in rows}
+
+    def labeler(pairs):
+        a = members.select(
+            F.col("clip_id").alias("id_a"), F.col("merged_component").alias("cl_a")
+        )
+        b = members.select(
+            F.col("clip_id").alias("id_b"), F.col("merged_component").alias("cl_b")
+        )
+        return (
+            pairs.join(a, "id_a").join(b, "id_b")
+            .select(
+                "id_a", "id_b",
+                F.when(F.col("cl_a") == F.col("cl_b"), "same_event")
+                .otherwise("different_event").alias("label"),
+            )
+        )
+
+    labels = ["same_event", "different_event"]
+    out = label_quota_pairs(members, labeler, labels, quota=10, seed=4).collect()
+    counts = {}
+    for r in out:
+        counts[r["label"]] = counts.get(r["label"], 0) + 1
+        want = "same_event" if truth[r["id_a"]] == truth[r["id_b"]] else "different_event"
+        assert r["label"] == want
+    assert counts["different_event"] == 10  # plentiful label hits quota exactly
+    assert counts["same_event"] >= 5  # rare label accumulates across rounds

@@ -61,3 +61,26 @@ def test_ann_prunes_candidates(spark):
         .count()
     )
     assert pruned_n < 300  # the bucket prefilter actually prunes
+
+
+def test_ann_indexed_layout_prunes_partitions(spark, tmp_path):
+    """write_ann_index + ann_topk_indexed: same results as the scan-based
+    ANN at the same radius, and the probe's scan shows PartitionFilters
+    on the bucket column (pruned I/O, not a full scan)."""
+    from sems_event_deduplication_spark.operators.similarity import (
+        ann_topk_indexed,
+        write_ann_index,
+    )
+
+    df, base = _emb_df(spark)
+    planes = make_planes(16, 16, seed=1)
+    path = str(tmp_path / "ann_index")
+    write_ann_index(df, path, planes, p_bits=6)
+
+    q = base[0].tolist()
+    got = ann_topk_indexed(spark, path, q, planes, k=5, hamming_radius=2, p_bits=6)
+    want = ann_topk_lsh(df, q, planes, k=5, hamming_radius=2)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan

@@ -98,3 +98,38 @@ def test_streaming_neardup_candidates(spark):
     # no pairings between distinct incidents
     for n, s in got:
         assert n.replace("dup", "") in s or s.replace("a", "") in n, (n, s)
+
+
+def test_kmv_est_many_matches_scalar_oracle():
+    """Vectorized KMV vs the scalar union formula with k=min(|A|,|B|),
+    across unequal sketch lengths (the ADVICE deflation case)."""
+    from sems_event_deduplication_spark.streaming.stream_dedup import kmv_est_many
+
+    rng = np.random.default_rng(3)
+    K = 16
+    sentinel = np.iinfo(np.int64).max
+
+    def scalar(a, b):
+        k = min(len(a), len(b))
+        union = np.union1d(a, b)[:k]
+        both = np.intersect1d(np.intersect1d(union, a), b)
+        return len(both) / max(1, k)
+
+    universe = rng.choice(10_000, size=600, replace=False).astype(np.int64)
+    sketches = []
+    for _ in range(25):
+        n = int(rng.integers(2, K + 1))
+        vals = np.sort(rng.choice(universe, size=n, replace=False))
+        sketches.append(vals)
+    # include a short sketch vs long sketch pairing explicitly
+    sketches.append(np.sort(sketches[0][:3]))
+
+    stored = np.full((len(sketches), K), sentinel, dtype=np.int64)
+    lens = np.zeros(len(sketches), dtype=np.int64)
+    for i, s in enumerate(sketches):
+        stored[i, : len(s)] = s
+        lens[i] = len(s)
+    for new in sketches[:6]:
+        got = kmv_est_many(new, stored, lens)
+        want = [scalar(new, s) for s in sketches]
+        assert np.allclose(got, want), (got, want)
