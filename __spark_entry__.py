@@ -734,6 +734,64 @@ def q_wikidata_event_claims(spark, sf_dir):
     return extract_event_claims(entities)
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental batch-vs-index dedup (operators/incremental.py): a
+    synthetic batch of 10 exact copies ('x*'), 10 tail-edited near dups
+    ('m*', planted J >= 0.9 so LSH recall is ~1 by construction), and
+    10 novel rows ('n*') deduped against the signed documents corpus.
+    Output: (id_new, kind in exact|near|novel), 30 rows. The DuckDB
+    oracle classifies by normalized-text equality and true shingle
+    Jaccard >= t — so the LSH+verify path must agree with exhaustive
+    truth, not just return rows."""
+    from sems_event_deduplication_spark.conf import DedupConfig
+    from sems_event_deduplication_spark.operators.incremental import (
+        incremental_dedup, sign_batch,
+    )
+
+    cfg = DedupConfig(jaccard_threshold=0.8)
+    raw = _t(spark, sf_dir, "documents")
+    docs = raw.select(
+        F.col("doc_id").cast("string").alias("clip_id"),
+        F.col("text").alias("transcript"),
+    )
+    index_sigs = sign_batch(docs, cfg)
+    exact_b = raw.filter(F.col("doc_id") < 10).select(
+        F.concat(F.lit("x"), F.col("doc_id").cast("string")).alias("clip_id"),
+        F.col("text").alias("transcript"),
+    )
+    near_b = (
+        raw.filter((F.col("doc_id") >= 100) & (~F.col("text").contains("|")))
+        .orderBy("doc_id").limit(10)
+        .select(
+            F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("clip_id"),
+            F.concat(
+                F.col("text"),
+                F.lit(" extra tail words appended here for testing"),
+            ).alias("transcript"),
+        )
+    )
+    novel_b = spark.range(10).select(
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("clip_id"),
+        F.concat(
+            F.lit("zzqq unique nonsense kwxy vbnm plmo "),
+            F.col("id").cast("string"),
+        ).alias("transcript"),
+    )
+    batch = exact_b.unionByName(near_b).unionByName(novel_b)
+    out = incremental_dedup(batch, index_sigs, cfg)
+    exact_ids = out["exact_hits"].select(
+        F.col("id_new"), F.lit("exact").alias("kind")
+    )
+    near_ids = (
+        out["neardup_hits"].select("id_new").distinct()
+        .select("id_new", F.lit("near").alias("kind"))
+    )
+    novel_ids = out["novel"].select(
+        F.col("clip_id").alias("id_new"), F.lit("novel").alias("kind")
+    )
+    return exact_ids.unionByName(near_ids).unionByName(novel_ids)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_keeplast": q_exact_dedup_keeplast,
@@ -768,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classification_summary": q_classification_summary,
         "event_type_daily_peaks": q_event_type_daily_peaks,
         "wikidata_event_claims": q_wikidata_event_claims,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -1154,5 +1213,50 @@ def oracle_sql() -> dict[str, str]:
                    location_id
             FROM ex
             WHERE event_time IS NOT NULL OR location_id IS NOT NULL
+        """,
+        "incremental_dedup": f"""
+            WITH bsrc AS (
+              SELECT 'x' || CAST(doc_id AS VARCHAR) AS id_new, text
+              FROM documents WHERE doc_id < 10
+              UNION ALL
+              SELECT 'm' || CAST(doc_id AS VARCHAR),
+                     text || ' extra tail words appended here for testing'
+              FROM (SELECT doc_id, text FROM documents
+                    WHERE doc_id >= 100 AND strpos(text, '|') = 0
+                    ORDER BY doc_id LIMIT 10)
+              UNION ALL
+              SELECT 'n' || CAST(i AS VARCHAR),
+                     'zzqq unique nonsense kwxy vbnm plmo ' || CAST(i AS VARCHAR)
+              FROM (SELECT unnest(generate_series(0, 9)) AS i)
+            ),
+            bnorm AS (SELECT id_new, {_NORM.format(src='text')} AS norm FROM bsrc),
+            inorm AS (SELECT doc_id, {_NORM.format(src='text')} AS norm FROM documents),
+            exact AS (
+              SELECT DISTINCT b.id_new FROM bnorm b JOIN inorm i ON b.norm = i.norm),
+            bsh AS (
+              SELECT DISTINCT b.id_new, substring(b.norm, CAST(n.i AS INT), 9) AS sh
+              FROM bnorm b JOIN (SELECT unnest(generate_series(1, 4000)) AS i) n
+                ON n.i <= length(b.norm) - 8
+              WHERE b.id_new NOT IN (SELECT id_new FROM exact)),
+            ish AS (
+              SELECT DISTINCT d.doc_id, substring(d.norm, CAST(n.i AS INT), 9) AS sh
+              FROM inorm d JOIN (SELECT unnest(generate_series(1, 4000)) AS i) n
+                ON n.i <= length(d.norm) - 8),
+            bs AS (SELECT id_new, count(*) AS nb FROM bsh GROUP BY 1),
+            isz AS (SELECT doc_id, count(*) AS ni FROM ish GROUP BY 1),
+            inter AS (
+              SELECT b.id_new, i.doc_id, count(*) AS n_inter
+              FROM bsh b JOIN ish i ON b.sh = i.sh GROUP BY 1, 2),
+            near AS (
+              SELECT DISTINCT t.id_new
+              FROM inter t
+              JOIN bs ON bs.id_new = t.id_new
+              JOIN isz ON isz.doc_id = t.doc_id
+              WHERE 1.0 * n_inter / (nb + ni - n_inter) >= 0.8)
+            SELECT b.id_new,
+                   CASE WHEN b.id_new IN (SELECT id_new FROM exact) THEN 'exact'
+                        WHEN b.id_new IN (SELECT id_new FROM near) THEN 'near'
+                        ELSE 'novel' END AS kind
+            FROM bnorm b
         """,
     }

@@ -73,10 +73,57 @@ def main() -> None:
         cands, sigs, cfg.num_perm, cfg.jaccard_threshold, cfg.est_margin
     )
 
+    # --- bucketed payload re-attach (the strategy="shuffle" branch at
+    # a scale where no id set broadcasts: both tables bucketed on the
+    # join key => SortMergeJoin with NO Exchange on either side) -------
+    from sems_event_deduplication_spark.sources.warehouse import WarehouseIO
+
+    wh = WarehouseIO(spark, tempfile.mkdtemp(prefix="plans_wh_"))
+    payload_t = wh.save_bucketed(
+        clips.select("clip_id", "bytes"), "plans_payload", "clip_id", n_buckets=8
+    )
+    dropped_t = wh.save_bucketed(
+        exact_edges.select(F.col("id_b").alias("clip_id")),
+        "plans_dropped", "clip_id", n_buckets=8,
+    )
+    # at real scale neither side broadcasts; disable broadcast so the
+    # captured plan is the sort-merge shape the layout exists for
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
+    bucketed_plan = plan_of(payload_t.join(dropped_t, "clip_id", "left_anti"))
+    for k, v in saved.items():
+        spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+    # --- ANN probe over the partition-bucketed index layout -----------
+    import numpy as np
+
+    from sems_event_deduplication_spark.operators.similarity import (
+        ann_topk_indexed, make_planes, write_ann_index,
+    )
+
+    rng = np.random.default_rng(5)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.standard_normal(16)]) for i in range(512)],
+        "vec_id long, embedding array<double>",
+    )
+    planes = make_planes(16, 16, seed=1)
+    ann_path = os.path.join(tempfile.mkdtemp(prefix="plans_ann_"), "index")
+    write_ann_index(emb, ann_path, planes, p_bits=6)
+    ann_probe = ann_topk_indexed(
+        spark, ann_path, [float(x) for x in rng.standard_normal(16)],
+        planes, k=5, hamming_radius=2, p_bits=6,
+    )
+
     sections = [
         ("signatures (scan -> exact dedup -> Arrow UDFs)", sigs, [
-            "the payload-side scan must feed a **BroadcastHashJoin LeftSemi** "
-            "(BuildRight) — no Exchange above the payload scan: `bytes` never shuffles",
+            "the payload-side scan must feed a **BroadcastHashJoin LeftAnti** "
+            "(BuildRight, broadcast = the small dropped-id set) — no Exchange "
+            "above the payload scan: `bytes` never shuffles",
             "the digest side is a narrow projection (ReadSchema has no `bytes` "
             "on the window branch beyond the sha2 input)",
             "both pandas UDFs appear as a fused ArrowEvalPython (one Python round-trip)",
@@ -92,6 +139,20 @@ def main() -> None:
             "pair join — column pruning visible in ReadSchema",
             "Jaccard math is native exprs inside WholeStageCodegen, no Python",
         ]),
+        ("bucketed payload re-attach (exact-dedup strategy='shuffle' at scale)", bucketed_plan, [
+            "both sides are tables bucketed by clip_id (`WarehouseIO.save_bucketed`): "
+            "the anti-join plans as SortMergeJoin with **zero Exchange operators** — "
+            "neither the payload nor the dropped-id set shuffles "
+            "(SelectedBucketsCount visible on both scans)",
+            "this is the 100 TB branch when neither id set fits a broadcast",
+        ]),
+        ("ANN probe over the partition-bucketed index (write_ann_index layout)", ann_probe, [
+            "the scan must show **PartitionFilters** with `bucket IN (...)` — the "
+            "radius-enumerated bucket set prunes parquet directories, the probe "
+            "never opens non-candidate partitions",
+            "the stored `sig` column is re-used by the Hamming refilter "
+            "(no signature recompute at query time); cosine re-rank is native exprs",
+        ]),
     ]
 
     out_path = os.path.join(REPO, "BENCH", "PLANS.md")
@@ -103,12 +164,14 @@ def main() -> None:
             "re-optimizes at runtime). Regenerate with "
             "`python scripts/explain_plans.py`.\n"
         )
-        for title, df, notes in sections:
+        for title, df_or_plan, notes in sections:
             f.write(f"\n## {title}\n\n")
             for n in notes:
                 f.write(f"- {n}\n")
             f.write("\n```\n")
-            f.write(plan_of(df))
+            f.write(
+                df_or_plan if isinstance(df_or_plan, str) else plan_of(df_or_plan)
+            )
             f.write("```\n")
     print(f"wrote {out_path}")
 

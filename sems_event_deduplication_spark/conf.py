@@ -52,6 +52,20 @@ class DedupConfig:
     landmark_containment: float = 0.8
     landmark_min_shared: int = 4
 
+    # --- exact-dedup payload re-attach (operators/exact_dedup.py) ----
+    exact_dedup_strategy: str = "anti_broadcast"
+                                  # anti_broadcast: broadcast the dropped-id
+                                  #   set + left_anti (default; dropped set
+                                  #   is small at realistic dup rates)
+                                  # semi_broadcast: broadcast keepers (only
+                                  #   when dup rate is huge)
+                                  # shuffle: no broadcast — pair with tables
+                                  #   bucketed on clip_id for a zero-Exchange
+                                  #   join (WarehouseIO.save_bucketed)
+                                  # auto: count dropped ids, pick at
+                                  #   exact_dedup_max_broadcast_ids
+    exact_dedup_max_broadcast_ids: int = 20_000_000
+
     # --- candidate-join scale controls ------------------------------
     max_bucket_size: int = 256    # LSH buckets larger than this use star-edges
                                   # (member -> bucket-min) instead of all-pairs

@@ -161,6 +161,8 @@ class DedupPipeline:
         exact, exact_edges = exact_dedup_with_edges(
             normalized, text_col="transcript_norm",
             payload_col="bytes" if with_audio else None, order_col="clip_id",
+            strategy=cfg.exact_dedup_strategy,
+            max_broadcast_ids=cfg.exact_dedup_max_broadcast_ids,
         )
         exact = maybe_stage(exact, "exact_dedup")
         # always materialize the (tiny) exact-dup edge list: left lazy it

@@ -93,3 +93,31 @@ def test_containment_within_forced_bucket(spark):
     got = containment_pairs(banded, sigs, CFG.max_bucket_size)
     pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
     assert ("l", "s") in pairs or ("s", "l") in pairs
+
+
+def test_bucket_stats_counts_star_degradation(spark):
+    """bucket_stats must report exactly the buckets the star-edge cap
+    degrades and how many pairs were not enumerated."""
+    import pandas as pd
+
+    from sems_event_deduplication_spark.operators.lsh import bucket_stats
+
+    rows = (
+        # bucket (0, 1): 5 members -> over a cap of 3
+        [("a%d" % i, 0, 1) for i in range(5)]
+        # bucket (0, 2): 3 members -> at the cap, fully enumerated
+        + [("b%d" % i, 0, 2) for i in range(3)]
+        # bucket (1, 3): singleton
+        + [("c0", 1, 3)]
+    )
+    banded = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["clip_id", "band_id", "band_hash"])
+    )
+    got = bucket_stats(banded, max_bucket_size=3).first().asDict()
+    assert got == {
+        "n_buckets": 3,
+        "n_star_buckets": 1,
+        "n_star_members": 5,
+        # 5*4/2 = 10 full pairs, 4 star edges emitted -> 6 not enumerated
+        "n_pairs_not_enumerated": 6,
+    }

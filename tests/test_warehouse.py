@@ -45,16 +45,33 @@ def test_checkpoint_chunked_roundtrip_and_resume(spark, tmp_path):
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Two tables bucketed on clip_id joined on clip_id must plan with
     zero Exchange operators — the shuffle-free 100 TB payload
-    re-attach layout referenced by exact_dedup_with_edges."""
+    re-attach layout referenced by exact_dedup_with_edges. Broadcast
+    is disabled for the assertion: at the scale this layout exists for,
+    neither side broadcasts, and the point is that the sort-merge join
+    then needs NO shuffle (at test sizes the planner would otherwise
+    just broadcast the small side and never exercise the bucketing)."""
     wh = WarehouseIO(spark, str(tmp_path))
     big = wh.save_bucketed(_df(spark, 200), "wt_payload", "clip_id", n_buckets=8)
     ids = wh.save_bucketed(
         _df(spark, 200).select("clip_id").sample(0.5, seed=1),
         "wt_keepers", "clip_id", n_buckets=8,
     )
-    joined = big.join(ids, "clip_id", "left_semi")
-    joined.collect()
-    plan = joined._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan
-    spark.sql("DROP TABLE IF EXISTS wt_payload")
-    spark.sql("DROP TABLE IF EXISTS wt_keepers")
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        joined = big.join(ids, "clip_id", "left_semi")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+        spark.sql("DROP TABLE IF EXISTS wt_payload")
+        spark.sql("DROP TABLE IF EXISTS wt_keepers")
