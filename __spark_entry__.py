@@ -792,6 +792,190 @@ def q_incremental_dedup(spark, sf_dir):
     return exact_ids.unionByName(near_ids).unionByName(novel_ids)
 
 
+def q_doc_components(spark, sf_dir):
+    """G3 promoted to a full contract query: connected components over
+    the SimHash near-dup edges (doc_id < 100, Hamming <= 3) via the
+    large-star/small-star loop, checked against a DuckDB recursive-CTE
+    transitive closure. component = min doc_id of the component;
+    singleton docs map to themselves."""
+    from sems_event_deduplication_spark.operators.components import (
+        assign_components, connected_components,
+    )
+
+    pairs = q_simhash_hamming_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id")
+    )
+    return assign_components(docs, comp, id_col="doc_id").select(
+        "doc_id", "component"
+    )
+
+
+def q_cluster_merge(spark, sf_dir):
+    """G5 second-level cluster merge, end to end: pseudo-clusters =
+    (user, week-of-January), entities = event_type:floor(value)%10
+    buckets, overlap = |A∩B|/max(|A|,|B|) >= 0.4 (reference's
+    max-denominator rule), temporal gate = date intervals within 3
+    days, transitive closure via CC. Oracle replays the identical rule
+    in SQL with a recursive CTE."""
+    from sems_event_deduplication_spark.operators.merge import merge_clusters
+
+    e = _t(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))) / 7
+    )
+    base = e.select(
+        (F.col("user_id") * 10 + week).cast("long").alias("component"),
+        F.array(
+            F.concat(
+                F.col("event_type"),
+                F.lit(":"),
+                (F.floor("value").cast("long") % 10).cast("string"),
+            )
+        ).alias("entities"),
+        F.to_date("ts").alias("event_date"),
+    )
+    merged = merge_clusters(
+        base,
+        min_entity_count=0,
+        min_overlap=0.4,
+        max_gap_days=3,
+    )
+    return merged.select("component", "merged_component").distinct()
+
+
+def q_event_date_intersect(spark, sf_dir):
+    """J6 date-set algebra: per user (< 20), days with BOTH a click and
+    a purchase (intersect) and days with a click but NO purchase
+    (except) — Spark ``intersect``/``subtract`` vs SQL INTERSECT/EXCEPT."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    both = clicks.intersect(purchases).withColumn("status", F.lit("both"))
+    only = clicks.subtract(purchases).withColumn(
+        "status", F.lit("click_only")
+    )
+    return both.unionByName(only)
+
+
+def q_deterministic_split(spark, sf_dir):
+    """F18 deterministic train/val/test split: pure hash-bucket
+    assignment (first two hex chars of md5(doc_id || salt)), no global
+    sort or rank — each row's split is a local function of its key, so
+    the assignment is identical under any partitioning, any retry, and
+    any engine. ~80/10/10 in expectation."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":seed42"))), 1, 2
+    )
+    split = (
+        F.when(h < F.lit("cd"), F.lit("train"))
+        .when(h < F.lit("e6"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", split.alias("split"))
+
+
+def q_ann_topk_indexed(spark, sf_dir):
+    """ANN probe against the persisted sign-bucket index layout
+    (similarity.write_ann_index / ann_topk_indexed): 32 axis-sign bits
+    (planes = I), low 8 bits as the partition column, Hamming radius 10
+    prefilter, exact-cosine re-rank of survivors. The oracle applies
+    the identical sign-signature filter + cosine in SQL, so the probe
+    must return exactly the brute-force answer *restricted to the
+    bucket-radius candidate set* — the recall contract of the index."""
+    import tempfile
+
+    import numpy as np
+
+    from sems_event_deduplication_spark.operators.similarity import (
+        ann_topk_indexed, write_ann_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    planes = np.eye(32)
+    path = os.path.join(
+        tempfile.gettempdir(), "sems_ann_index_contract", os.path.basename(sf_dir)
+    )
+    write_ann_index(
+        e.filter(F.col("vec_id") != 0), path, planes, p_bits=8
+    )
+    return ann_topk_indexed(
+        spark, path, qvec, planes, k=10, hamming_radius=10, p_bits=8
+    )
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting (training-pipeline op, textstats.token_count):
+    whitespace word tokens + punctuation runs as a BPE-ish upper
+    bound."""
+    from sems_event_deduplication_spark.operators.textstats import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_dbscan_user_segments(spark, sf_dir):
+    """W2/G4 promoted to a full contract query: exact 1-D DBSCAN
+    (eps = 1 day, min_samples = 3) over each user's purchase days —
+    core days by RANGE-window neighbor counts, core chaining, border
+    attachment (nearest core, ties -> earlier), noise = unattached.
+    Output per user: segment count, noise rows, largest segment size."""
+    from sems_event_deduplication_spark.operators.temporal import (
+        dbscan_1d_segments,
+    )
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("event_date"))
+    )
+    seg = dbscan_1d_segments(
+        e, cluster_col="user_id", date_col="event_date",
+        eps_days=1, min_samples=3,
+    )
+    per_seg = (
+        seg.filter(F.col("segment").isNotNull())
+        .groupBy("user_id", "segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    seg_stats = per_seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.max("n").alias("max_segment_rows"),
+    )
+    noise = seg.groupBy("user_id").agg(
+        F.sum(F.when(F.col("segment").isNull(), 1).otherwise(0)).alias(
+            "n_noise"
+        )
+    )
+    return (
+        noise.join(seg_stats, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+            F.col("n_noise").cast("long").alias("n_noise"),
+            F.coalesce("max_segment_rows", F.lit(0)).cast("long").alias(
+                "max_segment_rows"
+            ),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_keeplast": q_exact_dedup_keeplast,
@@ -827,6 +1011,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_daily_peaks": q_event_type_daily_peaks,
         "wikidata_event_claims": q_wikidata_event_claims,
         "incremental_dedup": q_incremental_dedup,
+        "doc_components": q_doc_components,
+        "cluster_merge": q_cluster_merge,
+        "event_date_intersect": q_event_date_intersect,
+        "deterministic_split": q_deterministic_split,
+        "ann_topk_indexed": q_ann_topk_indexed,
+        "token_count": q_token_count,
+        "dbscan_user_segments": q_dbscan_user_segments,
     }
 
 
@@ -1258,5 +1449,171 @@ def oracle_sql() -> dict[str, str]:
                         WHEN b.id_new IN (SELECT id_new FROM near) THEN 'near'
                         ELSE 'novel' END AS kind
             FROM bnorm b
+        """,
+        "doc_components": f"""
+            WITH RECURSIVE sims AS ({_SIMHASH_SQL.replace("FROM documents d", "FROM (SELECT * FROM documents WHERE doc_id < 100) d")}),
+            pairs AS (
+              SELECT a.doc_id AS u, b.doc_id AS v
+              FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+              WHERE ({_SIMHASH_HAM}) <= 3),
+            edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+            reach AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+              WHERE e.v <> r.u),
+            comp AS (
+              SELECT u AS doc_id, least(u, min(v)) AS component
+              FROM reach GROUP BY u)
+            SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+            LEFT JOIN comp c USING (doc_id)
+        """,
+        "cluster_merge": """
+            WITH RECURSIVE base AS (
+              SELECT (user_id * 10
+                      + CAST(floor(date_diff('day', DATE '2024-01-01',
+                                             CAST(ts AS DATE)) / 7.0) AS BIGINT)
+                     ) AS component,
+                     event_type || ':' ||
+                       CAST(CAST(floor(value) AS BIGINT) % 10 AS VARCHAR) AS entity,
+                     CAST(ts AS DATE) AS d
+              FROM events),
+            ents AS (
+              SELECT component, entity FROM base
+              GROUP BY 1, 2 HAVING count(*) > 0),
+            sizes AS (SELECT component, count(*) AS n FROM ents GROUP BY 1),
+            inter AS (
+              SELECT a.component AS ca, b.component AS cb, count(*) AS n_inter
+              FROM ents a JOIN ents b
+                ON a.entity = b.entity AND a.component < b.component
+              GROUP BY 1, 2),
+            ov AS (
+              SELECT ca, cb FROM inter
+              JOIN sizes sa ON sa.component = ca
+              JOIN sizes sb ON sb.component = cb
+              WHERE 1.0 * n_inter / greatest(sa.n, sb.n) >= 0.4),
+            spans AS (SELECT component, min(d) AS mn, max(d) AS mx FROM base GROUP BY 1),
+            edges0 AS (
+              SELECT ca, cb FROM ov
+              JOIN spans a ON a.component = ca
+              JOIN spans b ON b.component = cb
+              WHERE a.mn <= b.mx + INTERVAL 3 DAY
+                AND b.mn <= a.mx + INTERVAL 3 DAY),
+            edges AS (SELECT ca AS u, cb AS v FROM edges0
+                      UNION ALL SELECT cb, ca FROM edges0),
+            reach AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+              WHERE e.v <> r.u),
+            comp AS (
+              SELECT u AS component, least(u, min(v)) AS merged_component
+              FROM reach GROUP BY u)
+            SELECT c.component,
+                   coalesce(mc.merged_component, c.component) AS merged_component
+            FROM (SELECT DISTINCT component FROM base) c
+            LEFT JOIN comp mc USING (component)
+        """,
+        "event_date_intersect": """
+            WITH clicks AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+              WHERE user_id < 20 AND event_type = 'click'),
+            purchases AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+              WHERE user_id < 20 AND event_type = 'purchase')
+            SELECT user_id, d, 'both' AS status
+            FROM (SELECT * FROM clicks INTERSECT SELECT * FROM purchases)
+            UNION ALL
+            SELECT user_id, d, 'click_only' AS status
+            FROM (SELECT * FROM clicks EXCEPT SELECT * FROM purchases)
+        """,
+        "deterministic_split": """
+            SELECT doc_id,
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':seed42'), 1, 2) < 'cd' THEN 'train'
+                        WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':seed42'), 1, 2) < 'e6' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "ann_topk_indexed": """
+            WITH sig AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN embedding[CAST(n.i AS INT)] > 0
+                                   THEN CAST(2 AS BIGINT) ** (n.i - 1) ELSE 0 END) AS BIGINT) AS s
+              FROM embeddings, (SELECT unnest(generate_series(1, 32)) AS i) n
+              GROUP BY vec_id),
+            q AS (SELECT s AS qs FROM sig WHERE vec_id = 0),
+            qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            cand AS (
+              SELECT v.vec_id, v.embedding FROM embeddings v
+              JOIN sig ON sig.vec_id = v.vec_id, q
+              WHERE v.vec_id <> 0 AND bit_count(xor(sig.s, q.qs)) <= 10),
+            expl AS (
+              SELECT c.vec_id,
+                     CAST(c.embedding[CAST(n.i AS INT)] AS DOUBLE) AS x,
+                     CAST(qv.qe[CAST(n.i AS INT)] AS DOUBLE) AS y
+              FROM cand c, qv,
+                   (SELECT unnest(generate_series(1, 10000)) AS i) n
+              WHERE n.i <= len(c.embedding))
+            SELECT vec_id,
+                   round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cosine
+            FROM expl GROUP BY vec_id
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0))
+                        + len(list_filter(string_split_regex(text, '[a-zA-Z0-9\s]+'),
+                                          p -> len(p) > 0)) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "dbscan_user_segments": """
+            WITH pts AS (
+              SELECT user_id, CAST(ts AS DATE) AS d FROM events
+              WHERE event_type = 'purchase'),
+            m AS (SELECT user_id, min(d) AS mn FROM pts GROUP BY 1),
+            base AS (
+              SELECT p.user_id, date_diff('day', m.mn, p.d) AS day
+              FROM pts p JOIN m USING (user_id)),
+            days AS (SELECT user_id, day, count(*) AS cnt FROM base GROUP BY 1, 2),
+            nb AS (
+              SELECT user_id, day, cnt,
+                     sum(cnt) OVER (PARTITION BY user_id ORDER BY day
+                                    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS nbrs
+              FROM days),
+            core AS (
+              SELECT user_id, day,
+                     sum(CASE WHEN gap IS NULL OR gap > 1 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS segment
+              FROM (SELECT user_id, day,
+                           day - lag(day) OVER (PARTITION BY user_id ORDER BY day) AS gap
+                    FROM nb WHERE nbrs >= 3)),
+            att AS (
+              SELECT user_id, day, segment FROM (
+                SELECT d.user_id, d.day, c.segment,
+                       row_number() OVER (PARTITION BY d.user_id, d.day
+                                          ORDER BY abs(d.day - c.day), c.day) AS rk
+                FROM days d JOIN core c
+                  ON d.user_id = c.user_id AND abs(d.day - c.day) <= 1)
+              WHERE rk = 1),
+            rows_att AS (
+              SELECT b.user_id, b.day, a.segment
+              FROM base b LEFT JOIN att a
+                ON a.user_id = b.user_id AND a.day = b.day),
+            segcnt AS (
+              SELECT user_id, segment, count(*) AS c FROM rows_att
+              WHERE segment IS NOT NULL GROUP BY 1, 2),
+            segstats AS (
+              SELECT user_id, count(*) AS nseg, max(c) AS mx FROM segcnt GROUP BY 1),
+            noise AS (
+              SELECT user_id,
+                     sum(CASE WHEN segment IS NULL THEN 1 ELSE 0 END) AS n_noise
+              FROM rows_att GROUP BY 1)
+            SELECT n.user_id,
+                   CAST(coalesce(s.nseg, 0) AS BIGINT) AS n_segments,
+                   CAST(n.n_noise AS BIGINT) AS n_noise,
+                   CAST(coalesce(s.mx, 0) AS BIGINT) AS max_segment_rows
+            FROM noise n LEFT JOIN segstats s USING (user_id)
         """,
     }

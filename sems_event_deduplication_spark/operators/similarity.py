@@ -76,8 +76,10 @@ def make_planes(dim: int, n_bits: int, seed: int) -> np.ndarray:
 
 
 def _query_sig(query_vec: list[float], planes: np.ndarray) -> int:
-    q = np.asarray(query_vec, dtype=np.float64)
-    proj = planes[:, : len(q)] @ q
+    # the stored signature reads only the first planes.shape[1] dims
+    # (sign_bits_expr) — truncate the query the same way
+    q = np.asarray(query_vec, dtype=np.float64)[: planes.shape[1]]
+    proj = planes @ q
     sig = 0
     for b in range(planes.shape[0]):
         if proj[b] > 0:
@@ -168,13 +170,7 @@ def ann_topk_lsh(
     cosine re-rank. Bucket column is computable at write time, so at
     scale it becomes a partition/cluster key and the probe prunes I/O.
     """
-    q = np.asarray(query_vec, dtype=np.float64)
-    n_bits = planes.shape[0]
-    q_sig = 0
-    proj = planes[:, : len(q)] @ q
-    for b in range(n_bits):
-        if proj[b] > 0:
-            q_sig |= 1 << b
+    q_sig = _query_sig(query_vec, planes)
     sig = sign_bits_expr(F.col(vec_col), planes)
     pruned = df.withColumn("__sig", sig).filter(
         F.bit_count(F.col("__sig").bitwiseXOR(F.lit(q_sig))) <= hamming_radius
