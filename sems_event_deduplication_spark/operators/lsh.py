@@ -39,6 +39,21 @@ def explode_bands(df: DataFrame, id_col: str, bands_col: str) -> DataFrame:
     )
 
 
+def size_buckets(banded: DataFrame) -> DataFrame:
+    """Attach per-bucket size and min member (one exchange on the
+    bucket key). ``candidate_pairs``, ``bucket_stats`` and the
+    containment pre-filter all need exactly this — callers that run
+    more than one of them should compute it once, ``persist()`` it,
+    and pass the sized frame to each consumer so the explode + window
+    shuffle happens a single time per banded input (the pipeline does
+    this; unshared, the observability pass alone costs one extra full
+    shuffle per modality)."""
+    w = Window.partitionBy("band_id", "band_hash")
+    return banded.withColumn("__bucket_n", F.count(F.lit(1)).over(w)).withColumn(
+        "__bucket_min", F.min("clip_id").over(w)
+    )
+
+
 def candidate_pairs(
     banded: DataFrame,
     max_bucket_size: int = 256,
@@ -49,11 +64,11 @@ def candidate_pairs(
     edges to the bucket minimum (O(m)); the recall degradation is
     reported by ``bucket_stats`` — the pipeline runs it per banded
     input and surfaces the counts in its stage metrics.
+
+    Accepts either a raw ``(clip_id, band_id, band_hash)`` frame or an
+    already-``size_buckets``-ed one (detected by column).
     """
-    w = Window.partitionBy("band_id", "band_hash")
-    sized = banded.withColumn("__bucket_n", F.count(F.lit(1)).over(w)).withColumn(
-        "__bucket_min", F.min("clip_id").over(w)
-    )
+    sized = banded if "__bucket_n" in banded.columns else size_buckets(banded)
 
     small = sized.filter(
         (F.col("__bucket_n") <= max_bucket_size) & (F.col("__bucket_n") > 1)
@@ -86,11 +101,21 @@ def bucket_stats(banded: DataFrame, max_bucket_size: int = 256) -> DataFrame:
     intra-bucket pairs a capped bucket did NOT emit (m·(m-1)/2 full
     pairs minus the m-1 star edges). One narrow agg over the already
     co-partitioned bucket key; cheap enough to run every pipeline run.
+
+    Accepts a raw banded frame or a ``size_buckets`` output — with the
+    latter persisted, this is a cache read plus a partial agg (no new
+    exchange: the cached frame is already hash-partitioned on the
+    bucket key).
     """
     over = F.col("n") > max_bucket_size
-    sizes = banded.groupBy("band_id", "band_hash").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    if "__bucket_n" in banded.columns:
+        sizes = banded.groupBy("band_id", "band_hash").agg(
+            F.first("__bucket_n").alias("n")
+        )
+    else:
+        sizes = banded.groupBy("band_id", "band_hash").agg(
+            F.count(F.lit(1)).alias("n")
+        )
     return sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum(F.when(over, 1).otherwise(0)).alias("n_star_buckets"),

@@ -221,15 +221,26 @@ def containment_pairs(
     # Arrow batches is repeatedly pd.concat-copied through the scanner's
     # carry just to be discarded by the size check — the exact skew
     # blowup the star-edge cap in lsh.candidate_pairs guards against.
-    from pyspark.sql import Window
+    # A persisted lsh.size_buckets frame is reused as-is (no window).
+    if "__bucket_n" in banded.columns:
+        sized = (
+            banded.filter(F.col("band_id") < n_bands)
+            .filter(
+                (F.col("__bucket_n") > 1)
+                & (F.col("__bucket_n") <= max_bucket_size)
+            )
+            .select("clip_id", "band_id", "band_hash")
+        )
+    else:
+        from pyspark.sql import Window
 
-    wb = Window.partitionBy("band_id", "band_hash")
-    sized = (
-        banded.filter(F.col("band_id") < n_bands)
-        .withColumn("__n", F.count(F.lit(1)).over(wb))
-        .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket_size))
-        .drop("__n")
-    )
+        wb = Window.partitionBy("band_id", "band_hash")
+        sized = (
+            banded.filter(F.col("band_id") < n_bands)
+            .withColumn("__n", F.count(F.lit(1)).over(wb))
+            .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket_size))
+            .drop("__n")
+        )
     with_text = sized.join(
         docs.select(F.col(id_col).alias("clip_id"), F.col(text_col).alias("text")),
         "clip_id",

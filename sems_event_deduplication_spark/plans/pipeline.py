@@ -200,26 +200,46 @@ class DedupPipeline:
         sigs = stage(sigs.select(*keep), "signatures")
 
         # ---- LSH candidates ------------------------------------------------
+        # The band-bucket exchange (explode -> window on (band_id,
+        # band_hash)) is the shared substrate of candidate generation,
+        # the star-edge observability stats, and the containment
+        # pre-filter. Compute it ONCE per modality, persist it (narrow:
+        # id + band ints + two window columns), and let every consumer
+        # read the cache — unshared, the stats pass alone re-ran the
+        # full explode + shuffle per modality (2 extra jobs that
+        # dominated the audio wall on slow filesystems).
         lsh_stats: dict = {}
-
-        def record_bucket_stats(kind: str, banded: DataFrame) -> None:
-            # observability for the silent star-edge cap: recall lost to
-            # oversized buckets must be visible in the run metrics
-            row = lsh.bucket_stats(banded, cfg.max_bucket_size).first()
-            lsh_stats[kind] = {k: int(v or 0) for k, v in row.asDict().items()}
-
-        banded_text = lsh.explode_bands(sigs, "clip_id", "bands")
-        record_bucket_stats("text", banded_text)
-        cand_text = lsh.candidate_pairs(banded_text, cfg.max_bucket_size)
+        sized_text = lsh.size_buckets(
+            lsh.explode_bands(sigs, "clip_id", "bands")
+        ).persist()
+        cand_text = lsh.candidate_pairs(sized_text, cfg.max_bucket_size)
         cand_text = stage(cand_text, "candidates_text")
 
         if with_audio:
-            banded_audio = lsh.explode_bands(sigs, "clip_id", "audio_bands")
-            record_bucket_stats("audio", banded_audio)
-            cand_audio = lsh.candidate_pairs(banded_audio, cfg.max_bucket_size)
+            sized_audio = lsh.size_buckets(
+                lsh.explode_bands(sigs, "clip_id", "audio_bands")
+            ).persist()
+            cand_audio = lsh.candidate_pairs(sized_audio, cfg.max_bucket_size)
             cand_audio = stage(cand_audio, "candidates_audio")
         else:
+            sized_audio = None
             cand_audio = None
+
+        # stats AFTER the candidate stages so the caches are already
+        # populated: one unioned action over cached partitions
+        stats_df = lsh.bucket_stats(sized_text, cfg.max_bucket_size).withColumn(
+            "kind", F.lit("text")
+        )
+        if sized_audio is not None:
+            stats_df = stats_df.unionByName(
+                lsh.bucket_stats(sized_audio, cfg.max_bucket_size).withColumn(
+                    "kind", F.lit("audio")
+                )
+            )
+        for row in stats_df.collect():
+            d = row.asDict()
+            kind = d.pop("kind")
+            lsh_stats[kind] = {k: int(v or 0) for k, v in d.items()}
 
         # ---- verify --------------------------------------------------------
         # No pre-salting shuffle here: the verify equi-join hashes by
@@ -237,7 +257,7 @@ class DedupPipeline:
         ).withColumn("kind", F.lit("text"))
 
         contain = verify.containment_pairs(
-            banded_text, sigs, cfg.max_bucket_size, n_bands=cfg.containment_bands
+            sized_text, sigs, cfg.max_bucket_size, n_bands=cfg.containment_bands
         ).select("id_a", "id_b", F.lit(1.0).alias("jaccard")).withColumn(
             "kind", F.lit("containment")
         )
@@ -268,6 +288,9 @@ class DedupPipeline:
             F.sort_array(F.collect_set("kind")).alias("kinds"),
         )
         verified = stage(verified, "verified_pairs")
+        sized_text.unpersist()
+        if sized_audio is not None:
+            sized_audio.unpersist()
 
         # ---- connected components -----------------------------------------
         all_edges = verified.select("id_a", "id_b").unionByName(
