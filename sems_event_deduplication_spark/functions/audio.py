@@ -300,6 +300,53 @@ def make_audio_landmark_udf(
     return landmarks
 
 
+def make_audio_sig_landmark_udf(
+    frame: int,
+    hop: int,
+    n_bands: int,
+    bits: int,
+    seed: int,
+    lm_hop: int,
+    peaks_per_frame: int = 5,
+    fan_out: int = 5,
+):
+    """pandas_udf (bytes, codec) -> struct(audio_simhash, landmarks).
+
+    Fuses the clip-level SimHash and the offset-tier landmark
+    extraction into ONE payload pass: at 100 TB the payload bytes ARE
+    the dataset, and running the two fingerprints as separate stages
+    reads (and decodes) all of it twice. One decode feeds both FFT
+    configs (SimHash at ``hop``, landmarks at ``lm_hop``); results are
+    bit-identical to the separate UDFs (property-tested)."""
+    proj = _projection(n_bands, bits, seed)
+    n_w = _n_words(bits)
+    schema = T.StructType(
+        [
+            T.StructField("audio_simhash", T.ArrayType(T.LongType())),
+            T.StructField("landmarks", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def sig_and_landmarks(buf: pd.Series, codec: pd.Series) -> pd.DataFrame:
+        sims: list[list[int]] = []
+        lms: list[list[int]] = []
+        zero = [0] * n_w
+        for b, c in zip(buf, codec):
+            if b is None or len(b) == 0:
+                sims.append(zero)
+                lms.append([])
+                continue
+            pcm = decode_pcm(bytes(b), c)
+            fp = spectral_fingerprint(pcm, frame, hop, n_bands)
+            sims.append(pack_bits_to_words((proj @ fp) > 0, bits))
+            lm = audio_landmarks(pcm, frame, lm_hop, peaks_per_frame, fan_out)
+            lms.append([int(v) for v in lm])
+        return pd.DataFrame({"audio_simhash": sims, "landmarks": lms})
+
+    return sig_and_landmarks
+
+
 def make_snr_udf():
     """pandas_udf (bytes_a, codec_a, bytes_b, codec_b) -> double SNR dB.
 

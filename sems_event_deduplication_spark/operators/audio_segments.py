@@ -67,13 +67,16 @@ def verify_segment_overlap(
     )
 
 
-def audio_offset_pairs(
-    clips: DataFrame,
+def audio_offset_pairs_from_sigs(
+    sigs: DataFrame,
     cfg: DedupConfig,
     containment_threshold: float = 0.8,
     min_shared_landmarks: int = 4,
 ) -> DataFrame:
-    """End-to-end offset-audio dup pairs over an audio_clips table.
+    """Offset-audio dup pairs from an existing ``(clip_id, landmarks)``
+    table (e.g. the pipeline's checkpointed signatures stage, which
+    computes landmarks in the SAME payload pass as the SimHash — the
+    offset tier then never re-reads the 100 TB payload).
 
     Candidates come from the landmark inverted index: explode the
     landmark sets to (landmark -> clip_id) and reuse the bucket-capped
@@ -83,18 +86,35 @@ def audio_offset_pairs(
     ``min_shared_landmarks`` co-occurrences before the exact-overlap
     verify — single-landmark collisions are noise.
     """
+    inverted = sigs.select(
+        "clip_id", F.lit(0).alias("band_id"),
+        F.explode("landmarks").alias("band_hash"),
+    )
+    cands = lsh.candidate_pairs(inverted, cfg.max_bucket_size).filter(
+        F.col("n_shared_bands") >= min_shared_landmarks
+    )
+    return verify_segment_overlap(cands, sigs, containment_threshold)
+
+
+def audio_offset_pairs(
+    clips: DataFrame,
+    cfg: DedupConfig,
+    containment_threshold: float = 0.8,
+    min_shared_landmarks: int = 4,
+) -> DataFrame:
+    """End-to-end offset-audio dup pairs over a raw audio_clips table.
+
+    Standalone entry point: computes landmark signatures itself (one
+    payload pass), caches them for the index + verify consumers, and
+    materializes the (small) verified-pair set before releasing the
+    cache — without that the persist outlived the call and leaked
+    executor storage. Pipelines that already computed landmarks in the
+    signature stage should call ``audio_offset_pairs_from_sigs``.
+    """
     sigs = audio_segment_signatures(clips, cfg).persist()
     try:
-        inverted = sigs.select(
-            "clip_id", F.lit(0).alias("band_id"),
-            F.explode("landmarks").alias("band_hash"),
-        )
-        cands = lsh.candidate_pairs(inverted, cfg.max_bucket_size).filter(
-            F.col("n_shared_bands") >= min_shared_landmarks
-        )
-        # Materialize the (small) verified-pair set before releasing the
-        # cached signatures; without this the persist outlived the call
-        # and leaked executor storage for the rest of the application.
-        return verify_segment_overlap(cands, sigs, containment_threshold).localCheckpoint()
+        return audio_offset_pairs_from_sigs(
+            sigs, cfg, containment_threshold, min_shared_landmarks
+        ).localCheckpoint()
     finally:
         sigs.unpersist()

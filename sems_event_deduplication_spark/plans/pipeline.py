@@ -187,7 +187,28 @@ class DedupPipeline:
         sigs = shingled.withColumn("minhash_sig", mh(F.col("shingle_hashes"))).withColumn(
             "bands", M.band_hashes(F.col("minhash_sig"), cfg.bands, cfg.rows_per_band)
         )
-        if with_audio:
+        offset_tier = with_audio and cfg.with_offset_audio
+        if offset_tier:
+            # fuse the offset-tier landmark extraction into the SAME
+            # payload pass as the SimHash: one decode feeds both FFTs,
+            # and the offset tier later reads the checkpointed
+            # signatures table instead of re-scanning the payload —
+            # at 100 TB the payload re-read IS the cost
+            asl = A.make_audio_sig_landmark_udf(
+                cfg.fft_frame, cfg.fft_hop, cfg.n_mel_bands, cfg.simhash_bits,
+                cfg.seed, cfg.fft_hop // 2,
+            )
+            sigs = sigs.withColumn(
+                "__audio", asl(F.col("bytes"), F.col("codec"))
+            ).select(
+                "*",
+                F.col("__audio.audio_simhash").alias("audio_simhash"),
+                F.col("__audio.landmarks").alias("landmarks"),
+            ).withColumn(
+                "audio_bands",
+                A.simhash_bands(F.col("audio_simhash"), cfg.simhash_bands, cfg.simhash_bits),
+            )
+        elif with_audio:
             ash = A.make_audio_simhash_udf(
                 cfg.fft_frame, cfg.fft_hop, cfg.n_mel_bands, cfg.simhash_bits, cfg.seed
             )
@@ -197,6 +218,8 @@ class DedupPipeline:
         keep = ["clip_id", "transcript_norm", "shingle_hashes", "minhash_sig", "bands"]
         if with_audio:
             keep += ["audio_simhash", "audio_bands"]
+        if offset_tier:
+            keep += ["landmarks"]
         sigs = stage(sigs.select(*keep), "signatures")
 
         # ---- LSH candidates ------------------------------------------------
@@ -272,11 +295,11 @@ class DedupPipeline:
             )
             verified = verified.unionByName(pairs_audio)
 
-        if with_audio and cfg.with_offset_audio:
-            from ..operators.audio_segments import audio_offset_pairs
+        if offset_tier:
+            from ..operators.audio_segments import audio_offset_pairs_from_sigs
 
-            offset_pairs = audio_offset_pairs(
-                clips, cfg, cfg.landmark_containment, cfg.landmark_min_shared
+            offset_pairs = audio_offset_pairs_from_sigs(
+                sigs, cfg, cfg.landmark_containment, cfg.landmark_min_shared
             ).select(
                 "id_a", "id_b", F.lit(None).cast("double").alias("jaccard"),
                 F.lit("audio_offset").alias("kind"),

@@ -113,3 +113,52 @@ def test_pair_snr_udf(spark):
         .collect()[0]["snr"]
     )
     assert 35 < got < 45
+
+
+def test_fused_sig_landmark_udf_parity(spark):
+    """The fused one-payload-pass UDF must be bit-identical to the two
+    separate UDFs it replaces (pipeline uses it when the offset tier
+    is on)."""
+    from sems_event_deduplication_spark.functions.audio import (
+        make_audio_landmark_udf,
+        make_audio_sig_landmark_udf,
+    )
+
+    rng = _rng()
+    rows = []
+    for i in range(6):
+        pcm = _add_noise(_tone(rng, 16000, 0.4 + 0.1 * i), rng, snr_db=35)
+        codec = "pcm_s16le" if i % 2 == 0 else "pcm_f32le"
+        rows.append((str(i), _encode(pcm, codec), codec))
+    rows.append(("empty", b"", "pcm_s16le"))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "buf", "codec"])
+    )
+
+    sim_udf = make_audio_simhash_udf(
+        CFG.fft_frame, CFG.fft_hop, CFG.n_mel_bands, CFG.simhash_bits, CFG.seed
+    )
+    lm_udf = make_audio_landmark_udf(CFG.fft_frame, CFG.fft_hop // 2)
+    fused_udf = make_audio_sig_landmark_udf(
+        CFG.fft_frame, CFG.fft_hop, CFG.n_mel_bands, CFG.simhash_bits,
+        CFG.seed, CFG.fft_hop // 2,
+    )
+
+    sep = {
+        r["id"]: (r["s"], r["lm"])
+        for r in df.select(
+            "id",
+            sim_udf("buf", "codec").alias("s"),
+            lm_udf("buf", "codec").alias("lm"),
+        ).collect()
+    }
+    fused = {
+        r["id"]: (r["a"]["audio_simhash"], r["a"]["landmarks"])
+        for r in df.select(
+            "id", fused_udf("buf", "codec").alias("a")
+        ).collect()
+    }
+    assert sep.keys() == fused.keys()
+    for k in sep:
+        assert sep[k][0] == fused[k][0], f"simhash differs for {k}"
+        assert sep[k][1] == fused[k][1], f"landmarks differ for {k}"

@@ -102,3 +102,41 @@ def test_pipeline_offset_tier(spark):
         wh._path("components")).collect()}
     for host, short in expected:
         assert comp[host] == comp[short], (host, short)
+
+
+def test_pipeline_offset_tier_fused(spark, tmp_path):
+    """Pipeline with with_offset_audio=True: landmarks are computed in
+    the SAME payload pass as the SimHash (fused UDF), the offset tier
+    reads them from the checkpointed signatures table, and every
+    planted (host, short) pair ends up in one component — with
+    transcripts distinct so only the audio-offset tier can link them."""
+    from sems_event_deduplication_spark.plans.pipeline import DedupPipeline
+    from sems_event_deduplication_spark.sources.warehouse import WarehouseIO
+
+    pdf, expected = _corpus_with_offsets(n_base=24, n_planted=6)
+    sr = 16000
+    pdf["sr_hz"] = sr
+    pdf["dur_ms"] = [len(b) // 2 * 1000 // sr for b in pdf["bytes"]]
+    pdf["transcript"] = [
+        f"wholly distinct transcript number {i} with its own words"
+        for i in range(len(pdf))
+    ]
+    df = spark.createDataFrame(pdf)
+
+    cfg = DedupConfig(with_offset_audio=True)
+    res = DedupPipeline(spark, cfg, WarehouseIO(spark, str(tmp_path))).run(
+        df, with_audio=True, checkpoint_mode="min", payload_in_survivors=False
+    )
+    comp = {
+        m: r["component"]
+        for r in res.clusters.collect()
+        for m in r["member_ids"]
+    }
+    for h, s in expected:
+        assert comp.get(h) is not None and comp.get(h) == comp.get(s), (
+            f"offset pair ({h},{s}) not co-clustered: "
+            f"{comp.get(h)} vs {comp.get(s)}"
+        )
+    # sanity: the signatures table carried the landmarks column
+    sigs = spark.read.parquet(str(tmp_path) + "/signatures")
+    assert "landmarks" in sigs.columns
