@@ -976,6 +976,36 @@ def q_dbscan_user_segments(spark, sf_dir):
     )
 
 
+def q_embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup detection: all vector pairs with
+    cosine >= 0.4 (rounded to 6 dp on both engines so the threshold
+    cut is identical). Exact all-pairs here (500 vectors at contract
+    scale); at 100 TB the same decision runs behind the sign-bucket
+    LSH prefilter / partitioned ANN index (operators/similarity.py) —
+    the `ann_topk_indexed` contract query checks that path's recall
+    contract."""
+    e = _t(spark, sf_dir, "embeddings")
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_keeplast": q_exact_dedup_keeplast,
@@ -1018,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_indexed": q_ann_topk_indexed,
         "token_count": q_token_count,
         "dbscan_user_segments": q_dbscan_user_segments,
+        "embedding_neardup_pairs": q_embedding_neardup_pairs,
     }
 
 
@@ -1615,5 +1646,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n.n_noise AS BIGINT) AS n_noise,
                    CAST(coalesce(s.mx, 0) AS BIGINT) AS max_segment_rows
             FROM noise n LEFT JOIN segstats s USING (user_id)
+        """,
+        "embedding_neardup_pairs": """
+            WITH expl AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(a.embedding[CAST(n.i AS INT)] AS DOUBLE) AS x,
+                     CAST(b.embedding[CAST(n.i AS INT)] AS DOUBLE) AS y
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
+                   (SELECT unnest(generate_series(1, 10000)) AS i) n
+              WHERE n.i <= len(a.embedding))
+            SELECT id_a, id_b, cosine FROM (
+              SELECT id_a, id_b,
+                     round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cosine
+              FROM expl GROUP BY id_a, id_b)
+            WHERE cosine >= 0.4
         """,
     }
