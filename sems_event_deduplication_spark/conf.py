@@ -66,6 +66,22 @@ class DedupConfig:
                                   #   exact_dedup_max_broadcast_ids
     exact_dedup_max_broadcast_ids: int = 20_000_000
 
+    # --- signature scan shape (plans/pipeline.py) --------------------
+    signature_scan_mode: str = "dedup_first"
+                                  # dedup_first: digest pass -> drop exact
+                                  #   dups -> signature pass over keepers
+                                  #   (reference ordering; two payload
+                                  #   reads, no FFT wasted on dups — right
+                                  #   when the dup rate is high)
+                                  # fused: ONE payload pass computes digests
+                                  #   + all signatures; exact dedup then
+                                  #   ranks the narrow digest projection and
+                                  #   keepers are filtered by a broadcast
+                                  #   anti-join on the signature table —
+                                  #   right at 100 TB when reading the
+                                  #   payload twice costs more than
+                                  #   fingerprinting the (few) dup rows
+
     # --- candidate-join scale controls ------------------------------
     max_bucket_size: int = 256    # LSH buckets larger than this use star-edges
                                   # (member -> bucket-min) instead of all-pairs

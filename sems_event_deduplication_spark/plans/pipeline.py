@@ -157,70 +157,128 @@ class DedupPipeline:
         )
         normalized = maybe_stage(normalized, "normalized")
 
-        # ---- exact dedup on content digests ------------------------------
-        exact, exact_edges = exact_dedup_with_edges(
-            normalized, text_col="transcript_norm",
-            payload_col="bytes" if with_audio else None, order_col="clip_id",
-            strategy=cfg.exact_dedup_strategy,
-            max_broadcast_ids=cfg.exact_dedup_max_broadcast_ids,
-        )
-        exact = maybe_stage(exact, "exact_dedup")
-        # always materialize the (tiny) exact-dup edge list: left lazy it
-        # would re-run the payload digest scan inside the CC stage
-        exact_edges = stage(exact_edges, "exact_edges")
-
-        # ---- signatures (payload dropped after this stage) ----------------
-        # spread the Arrow-UDF work across every core — but only shuffle
-        # when the scan is genuinely under-partitioned (a single-file
-        # table or a tiny checkpoint read-back); a wide parquet scan is
-        # already parallel, and repartitioning it would push the whole
-        # binary payload through a shuffle for nothing. The session sets
-        # spark.sql.files.maxPartitionBytes=64m so payload scans split
-        # finely enough to keep every core busy without that shuffle.
-        cores = self.spark.sparkContext.defaultParallelism
-        if _estimated_scan_partitions(normalized) < cores:
-            exact = exact.repartition(cores * 2)
-        shingled = exact.withColumn(
-            "shingles", X.char_shingles(F.col("transcript_norm"), cfg.shingle_k)
-        ).withColumn("shingle_hashes", M.shingle_hashes(F.col("shingles")))
-        mh = M.make_minhash_udf(cfg.num_perm, cfg.seed)
-        sigs = shingled.withColumn("minhash_sig", mh(F.col("shingle_hashes"))).withColumn(
-            "bands", M.band_hashes(F.col("minhash_sig"), cfg.bands, cfg.rows_per_band)
-        )
         offset_tier = with_audio and cfg.with_offset_audio
-        if offset_tier:
-            # fuse the offset-tier landmark extraction into the SAME
-            # payload pass as the SimHash: one decode feeds both FFTs,
-            # and the offset tier later reads the checkpointed
-            # signatures table instead of re-scanning the payload —
-            # at 100 TB the payload re-read IS the cost
-            asl = A.make_audio_sig_landmark_udf(
-                cfg.fft_frame, cfg.fft_hop, cfg.n_mel_bands, cfg.simhash_bits,
-                cfg.seed, cfg.fft_hop // 2,
+        fused_scan = cfg.signature_scan_mode == "fused"
+        cores = self.spark.sparkContext.defaultParallelism
+
+        def add_signature_columns(df: DataFrame) -> DataFrame:
+            """Every fingerprint in one select; the Arrow UDFs fuse into
+            a single ArrowEvalPython over one payload read."""
+            out = df.withColumn(
+                "shingles", X.char_shingles(F.col("transcript_norm"), cfg.shingle_k)
+            ).withColumn("shingle_hashes", M.shingle_hashes(F.col("shingles")))
+            mh = M.make_minhash_udf(cfg.num_perm, cfg.seed)
+            out = out.withColumn("minhash_sig", mh(F.col("shingle_hashes"))).withColumn(
+                "bands", M.band_hashes(F.col("minhash_sig"), cfg.bands, cfg.rows_per_band)
             )
-            sigs = sigs.withColumn(
-                "__audio", asl(F.col("bytes"), F.col("codec"))
-            ).select(
-                "*",
-                F.col("__audio.audio_simhash").alias("audio_simhash"),
-                F.col("__audio.landmarks").alias("landmarks"),
-            ).withColumn(
-                "audio_bands",
-                A.simhash_bands(F.col("audio_simhash"), cfg.simhash_bands, cfg.simhash_bits),
-            )
-        elif with_audio:
-            ash = A.make_audio_simhash_udf(
-                cfg.fft_frame, cfg.fft_hop, cfg.n_mel_bands, cfg.simhash_bits, cfg.seed
-            )
-            sigs = sigs.withColumn("audio_simhash", ash(F.col("bytes"), F.col("codec"))).withColumn(
-                "audio_bands", A.simhash_bands(F.col("audio_simhash"), cfg.simhash_bands, cfg.simhash_bits)
-            )
-        keep = ["clip_id", "transcript_norm", "shingle_hashes", "minhash_sig", "bands"]
+            if offset_tier:
+                # fuse the offset-tier landmark extraction into the SAME
+                # payload pass as the SimHash: one decode feeds both
+                # FFTs, and the offset tier later reads the checkpointed
+                # signatures table instead of re-scanning the payload —
+                # at 100 TB the payload re-read IS the cost
+                asl = A.make_audio_sig_landmark_udf(
+                    cfg.fft_frame, cfg.fft_hop, cfg.n_mel_bands, cfg.simhash_bits,
+                    cfg.seed, cfg.fft_hop // 2,
+                )
+                out = out.withColumn(
+                    "__audio", asl(F.col("bytes"), F.col("codec"))
+                ).select(
+                    "*",
+                    F.col("__audio.audio_simhash").alias("audio_simhash"),
+                    F.col("__audio.landmarks").alias("landmarks"),
+                ).withColumn(
+                    "audio_bands",
+                    A.simhash_bands(F.col("audio_simhash"), cfg.simhash_bands, cfg.simhash_bits),
+                )
+            elif with_audio:
+                ash = A.make_audio_simhash_udf(
+                    cfg.fft_frame, cfg.fft_hop, cfg.n_mel_bands, cfg.simhash_bits, cfg.seed
+                )
+                out = out.withColumn(
+                    "audio_simhash", ash(F.col("bytes"), F.col("codec"))
+                ).withColumn(
+                    "audio_bands",
+                    A.simhash_bands(F.col("audio_simhash"), cfg.simhash_bands, cfg.simhash_bits),
+                )
+            return out
+
+        sig_cols = ["clip_id", "transcript_norm", "shingle_hashes", "minhash_sig", "bands"]
         if with_audio:
-            keep += ["audio_simhash", "audio_bands"]
+            sig_cols += ["audio_simhash", "audio_bands"]
         if offset_tier:
-            keep += ["landmarks"]
-        sigs = stage(sigs.select(*keep), "signatures")
+            sig_cols += ["landmarks"]
+
+        if fused_scan:
+            # ---- ONE payload pass: digests + every signature -------------
+            # Exact dedup then ranks the narrow digest projection of the
+            # checkpointed signature table, and keepers are selected by a
+            # broadcast anti-join against the (small) dropped-id set — the
+            # payload is read exactly once end-to-end. Tradeoff vs
+            # dedup_first: fingerprints are computed for rows exact dedup
+            # will drop, so prefer dedup_first when the dup rate is high
+            # and fused when payload I/O dominates (the 100 TB shape).
+            src = normalized
+            if _estimated_scan_partitions(normalized) < cores:
+                src = src.repartition(cores * 2)
+            keys = ["__k_text"]
+            enriched = src.withColumn(
+                "__k_text", F.sha2(F.col("transcript_norm"), 256)
+            )
+            if with_audio:
+                keys.append("__k_payload")
+                enriched = enriched.withColumn(
+                    "__k_payload", F.sha2(F.col("bytes"), 256)
+                )
+            sigs_all = stage(
+                add_signature_columns(enriched).select(*sig_cols, *keys),
+                "signatures",
+            )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy(F.col("clip_id").desc())
+            ranked = (
+                sigs_all.select("clip_id", *keys)
+                .withColumn("__rn", F.row_number().over(w))
+                .withColumn("__keeper", F.first("clip_id").over(w))
+            )
+            exact_edges = stage(
+                ranked.filter(F.col("__rn") > 1).select(
+                    F.col("__keeper").alias("id_a"), F.col("clip_id").alias("id_b")
+                ),
+                "exact_edges",
+            )
+            dropped = exact_edges.select(F.col("id_b").alias("clip_id"))
+            sigs = sigs_all.join(
+                F.broadcast(dropped), "clip_id", "left_anti"
+            ).drop(*keys)
+        else:
+            # ---- exact dedup on content digests (reference ordering) -----
+            exact, exact_edges = exact_dedup_with_edges(
+                normalized, text_col="transcript_norm",
+                payload_col="bytes" if with_audio else None, order_col="clip_id",
+                strategy=cfg.exact_dedup_strategy,
+                max_broadcast_ids=cfg.exact_dedup_max_broadcast_ids,
+            )
+            exact = maybe_stage(exact, "exact_dedup")
+            # always materialize the (tiny) exact-dup edge list: left lazy
+            # it would re-run the payload digest scan inside the CC stage
+            exact_edges = stage(exact_edges, "exact_edges")
+
+            # ---- signatures (payload dropped after this stage) -----------
+            # spread the Arrow-UDF work across every core — but only
+            # shuffle when the scan is genuinely under-partitioned (a
+            # single-file table or a tiny checkpoint read-back); a wide
+            # parquet scan is already parallel, and repartitioning it
+            # would push the whole binary payload through a shuffle for
+            # nothing. The session sets spark.sql.files.maxPartitionBytes
+            # =64m so payload scans split finely enough to keep every
+            # core busy without that shuffle.
+            if _estimated_scan_partitions(normalized) < cores:
+                exact = exact.repartition(cores * 2)
+            sigs = stage(
+                add_signature_columns(exact).select(*sig_cols), "signatures"
+            )
 
         # ---- LSH candidates ------------------------------------------------
         # The band-bucket exchange (explode -> window on (band_id,

@@ -106,3 +106,33 @@ def test_metrics_emitted(result, corpus_pdf):
     stages = {m.stage for m in res.metrics}
     assert {"normalized", "signatures", "verified_pairs", "components"} <= stages
     assert all(m.seconds >= 0 for m in res.metrics)
+
+
+def test_fused_scan_mode_parity(spark, corpus):
+    """signature_scan_mode='fused' (one payload pass: digests + all
+    fingerprints, exact dedup ranked on the narrow digest projection
+    afterwards) must produce exactly the clusters and exact-dup edges
+    of the default dedup-first ordering."""
+    from dataclasses import replace
+
+    import tempfile
+
+    wh_a = WarehouseIO(spark, tempfile.mkdtemp(prefix="wh_fuseda_"))
+    res_a = DedupPipeline(spark, CFG, wh_a).run(corpus, with_audio=True)
+    cfg_f = replace(CFG, signature_scan_mode="fused")
+    wh_b = WarehouseIO(spark, tempfile.mkdtemp(prefix="wh_fusedb_"))
+    res_b = DedupPipeline(spark, cfg_f, wh_b).run(corpus, with_audio=True)
+
+    def comp_map(res):
+        return {
+            m: r["component"]
+            for r in res.clusters.collect()
+            for m in r["member_ids"]
+        }
+
+    assert comp_map(res_a) == comp_map(res_b)
+    edges_a = {(r["id_a"], r["id_b"]) for r in
+               spark.read.parquet(wh_a.base_dir + "/exact_edges").collect()}
+    edges_b = {(r["id_a"], r["id_b"]) for r in
+               spark.read.parquet(wh_b.base_dir + "/exact_edges").collect()}
+    assert edges_a == edges_b
