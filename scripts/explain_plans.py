@@ -73,6 +73,27 @@ def main() -> None:
         cands, sigs, cfg.num_perm, cfg.jaccard_threshold, cfg.est_margin
     )
 
+    # --- fused signature scan (signature_scan_mode="fused"): digests +
+    # SimHash + landmarks in one payload pass ---------------------------
+    asl = A.make_audio_sig_landmark_udf(
+        cfg.fft_frame, cfg.fft_hop, cfg.n_mel_bands, cfg.simhash_bits,
+        cfg.seed, cfg.fft_hop // 2,
+    )
+    fused_sigs = (
+        normalized.withColumn("__k_text", F.sha2(F.col("transcript_norm"), 256))
+        .withColumn("__k_payload", F.sha2(F.col("bytes"), 256))
+        .withColumn("shingles", X.char_shingles(F.col("transcript_norm"), cfg.shingle_k))
+        .withColumn("shingle_hashes", M.shingle_hashes(F.col("shingles")))
+        .withColumn("minhash_sig", mh(F.col("shingle_hashes")))
+        .withColumn("__audio", asl(F.col("bytes"), F.col("codec")))
+        .select(
+            "clip_id", "minhash_sig",
+            F.col("__audio.audio_simhash").alias("audio_simhash"),
+            F.col("__audio.landmarks").alias("landmarks"),
+            "__k_text", "__k_payload",
+        )
+    )
+
     # --- bucketed payload re-attach (the strategy="shuffle" branch at
     # a scale where no id set broadcasts: both tables bucketed on the
     # join key => SortMergeJoin with NO Exchange on either side) -------
@@ -138,6 +159,15 @@ def main() -> None:
             "signature table is projected to (clip_id, sig, shingles) before the "
             "pair join — column pruning visible in ReadSchema",
             "Jaccard math is native exprs inside WholeStageCodegen, no Python",
+        ]),
+        ("fused signature scan (signature_scan_mode='fused': one payload pass)", fused_sigs, [
+            "ONE FileScan of the payload table feeds everything: sha2 digests "
+            "are native exprs in the same WholeStageCodegen, and the MinHash + "
+            "fused SimHash/landmark UDFs appear as a single ArrowEvalPython — "
+            "the corpus payload is read (and decoded) exactly once",
+            "no Exchange anywhere in this plan: exact dedup afterwards ranks "
+            "only the narrow (clip_id, digest) projection of the checkpointed "
+            "output",
         ]),
         ("bucketed payload re-attach (exact-dedup strategy='shuffle' at scale)", bucketed_plan, [
             "both sides are tables bucketed by clip_id (`WarehouseIO.save_bucketed`): "
