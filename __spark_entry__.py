@@ -20,6 +20,7 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1006,6 +1007,59 @@ def q_embedding_neardup_pairs(spark, sf_dir):
     )
 
 
+def q_multimodal_image_features(spark, sf_dir):
+    """Multimodal binary-column plumbing, oracle-checked end to end:
+    a deterministic fake image per document (header-encoded dims, raw
+    RGB body — operators/multimodal.py's stub format) flows through the
+    real mapInPandas decode/feature path, and the video-frame sampling
+    expansion runs JVM-side over dur_ms = n_chars*10. The decoded
+    dims/channels/decode_ok and the frame count are pure functions of
+    doc_id/n_chars, so DuckDB arithmetic verifies the whole plumbing
+    (the histogram feature itself is pytest-covered, not part of the
+    contract output)."""
+    from sems_event_deduplication_spark.operators.multimodal import (
+        frame_sample_plan, image_features,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            F.col("doc_id").cast("string").alias("item_id"),
+            (F.lit(4) + F.col("doc_id") % 8).cast("int").alias("w"),
+            (F.lit(4) + F.col("doc_id") % 5).cast("int").alias("h"),
+            (F.col("n_chars") * 10).cast("int").alias("dur_ms"),
+        )
+    )
+
+    @F.pandas_udf("binary")
+    def fake_image(w: pd.Series, h: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for wi, hi in zip(w, h):
+            body = (np.arange(int(wi) * int(hi) * 3) % 256).astype(np.uint8)
+            out.append(
+                int(wi).to_bytes(4, "little")
+                + int(hi).to_bytes(4, "little")
+                + body.tobytes()
+            )
+        return pd.Series(out)
+
+    imgs = d.withColumn("bytes", fake_image("w", "h")).withColumn(
+        "fmt", F.lit("fake_rgb")
+    )
+    feats = image_features(imgs).select(
+        "item_id", "width", "height", "n_channels", "decode_ok"
+    )
+    frames = (
+        frame_sample_plan(d.select("item_id", "dur_ms"), every_ms=500)
+        .groupBy("item_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+    return feats.join(frames, "item_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_keeplast": q_exact_dedup_keeplast,
@@ -1049,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "dbscan_user_segments": q_dbscan_user_segments,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "multimodal_image_features": q_multimodal_image_features,
     }
 
 
@@ -1660,5 +1715,14 @@ def oracle_sql() -> dict[str, str]:
                      round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cosine
               FROM expl GROUP BY id_a, id_b)
             WHERE cosine >= 0.4
+        """,
+        "multimodal_image_features": """
+            SELECT CAST(doc_id AS VARCHAR) AS item_id,
+                   CAST(4 + doc_id % 8 AS INT) AS width,
+                   CAST(4 + doc_id % 5 AS INT) AS height,
+                   CAST(3 AS INT) AS n_channels,
+                   TRUE AS decode_ok,
+                   CAST(floor((n_chars * 10 - 1) / 500.0) + 1 AS BIGINT) AS n_frames
+            FROM documents WHERE doc_id < 50
         """,
     }

@@ -66,6 +66,21 @@ class DedupConfig:
                                   #   exact_dedup_max_broadcast_ids
     exact_dedup_max_broadcast_ids: int = 20_000_000
 
+    # --- mid-stage commit granularity (SURVEY.md S8) -----------------
+    signature_chunks: int = 0     # > 0: the signatures stage commits as
+                                  # this many independent chunk
+                                  # partitions (WarehouseIO.
+                                  # checkpoint_chunked) so a job killed
+                                  # mid-stage resumes at the first
+                                  # uncommitted chunk instead of
+                                  # recomputing hours of fingerprints.
+                                  # Chunking key is signature_chunk_col
+                                  # hashed; align it with the input
+                                  # layout (e.g. a date column) at real
+                                  # scale so each chunk pass prunes its
+                                  # scan instead of re-reading the corpus
+    signature_chunk_col: str = "clip_id"
+
     # --- signature scan shape (plans/pipeline.py) --------------------
     signature_scan_mode: str = "dedup_first"
                                   # dedup_first: digest pass -> drop exact

@@ -209,6 +209,27 @@ class DedupPipeline:
         if offset_tier:
             sig_cols += ["landmarks"]
 
+        def sig_stage(df: DataFrame) -> DataFrame:
+            """The signatures checkpoint — the longest stage of a real
+            run. With cfg.signature_chunks > 0 it commits as that many
+            independent chunk partitions (S8 mid-stage commits): a job
+            killed at chunk k resumes at chunk k instead of recomputing
+            hours of fingerprints."""
+            if cfg.signature_chunks > 0:
+                t0 = time.monotonic()
+                out = self.wh.checkpoint_chunked(
+                    df, "signatures", cfg.signature_chunk_col,
+                    n_chunks=cfg.signature_chunks, resume=resume,
+                )
+                t1 = time.monotonic()
+                n = out.count() if cp_all else -1
+                t2 = time.monotonic()
+                metrics.append(
+                    StageMetric("signatures", n, t2 - t0, t1 - t0, t2 - t1)
+                )
+                return out
+            return stage(df, "signatures")
+
         if fused_scan:
             # ---- ONE payload pass: digests + every signature -------------
             # Exact dedup then ranks the narrow digest projection of the
@@ -230,9 +251,8 @@ class DedupPipeline:
                 enriched = enriched.withColumn(
                     "__k_payload", F.sha2(F.col("bytes"), 256)
                 )
-            sigs_all = stage(
-                add_signature_columns(enriched).select(*sig_cols, *keys),
-                "signatures",
+            sigs_all = sig_stage(
+                add_signature_columns(enriched).select(*sig_cols, *keys)
             )
             from pyspark.sql import Window
 
@@ -276,9 +296,7 @@ class DedupPipeline:
             # core busy without that shuffle.
             if _estimated_scan_partitions(normalized) < cores:
                 exact = exact.repartition(cores * 2)
-            sigs = stage(
-                add_signature_columns(exact).select(*sig_cols), "signatures"
-            )
+            sigs = sig_stage(add_signature_columns(exact).select(*sig_cols))
 
         # ---- LSH candidates ------------------------------------------------
         # The band-bucket exchange (explode -> window on (band_id,
