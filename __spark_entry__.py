@@ -1060,6 +1060,32 @@ def q_multimodal_image_features(spark, sf_dir):
     return feats.join(frames, "item_id")
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN probe (similarity.build_ivf_centroids / write_ivf_index /
+    ivf_topk): deterministic spherical-k-means cells as parquet
+    partitions, probe-all (nprobe = n_cells) so the result must equal
+    the brute-force cosine top-10 for vec_id=1 — the oracle is exact
+    SQL. Partial-probe recall (the actual ANN operating point) is
+    pytest-covered."""
+    import tempfile
+
+    from sems_event_deduplication_spark.operators.similarity import (
+        build_ivf_centroids, ivf_topk, write_ivf_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 1).select("embedding").first()[0]
+    ]
+    cents = build_ivf_centroids(e, n_cells=8, seed=7, sample_n=256, iters=5)
+    path = os.path.join(
+        tempfile.gettempdir(), "sems_ivf_index_contract", os.path.basename(sf_dir)
+    )
+    write_ivf_index(e.filter(F.col("vec_id") != 1), path, cents)
+    return ivf_topk(spark, path, qvec, cents, k=10, nprobe=len(cents))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_keeplast": q_exact_dedup_keeplast,
@@ -1104,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_user_segments": q_dbscan_user_segments,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "multimodal_image_features": q_multimodal_image_features,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -1724,5 +1751,19 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS decode_ok,
                    CAST(floor((n_chars * 10 - 1) / 500.0) + 1 AS BIGINT) AS n_frames
             FROM documents WHERE doc_id < 50
+        """,
+        "ivf_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+            expl AS (
+              SELECT v.vec_id,
+                     CAST(v.embedding[CAST(n.i AS INT)] AS DOUBLE) AS x,
+                     CAST(q.qv[CAST(n.i AS INT)] AS DOUBLE) AS y
+              FROM embeddings v, q,
+                   (SELECT unnest(generate_series(1, 10000)) AS i) n
+              WHERE v.vec_id <> 1 AND n.i <= len(v.embedding))
+            SELECT vec_id,
+                   round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cosine
+            FROM expl GROUP BY vec_id
+            ORDER BY cosine DESC, vec_id LIMIT 10
         """,
     }

@@ -181,3 +181,110 @@ def ann_topk_lsh(
         .orderBy(F.col("cosine").desc(), id_col)
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer -> partition-per-cell
+# ---------------------------------------------------------------------------
+
+def build_ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    sample_n: int = 2048,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic coarse quantizer: spherical k-means (cosine) over
+    a bounded, hash-ordered sample.
+
+    The sample is the ``sample_n`` rows with the smallest
+    ``xxhash64(id, seed)`` — a pure function of the data, so the
+    centroids (and therefore the index layout) are identical across
+    runs, partitionings, and retries. Driver memory is bounded by
+    ``sample_n * dim`` floats regardless of table size; Lloyd
+    iterations run in numpy on the driver (k-means over a sample is
+    the standard IVF training recipe — training never scans the full
+    corpus)."""
+    rows = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy(F.xxhash64(F.col("__id"), F.lit(seed)), F.col("__id"))
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed + 15_485_863)
+    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        sims = X @ C.T
+        assign = np.argmax(sims, axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                C[j] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def _cell_expr(vec_col: Column, centroids: np.ndarray) -> Column:
+    """argmax-cosine cell id as a native expression: one literal-array
+    dot product per centroid (JVM, codegen — no UDF), argmax via
+    array_position(arr, array_max(arr)). Vectors are compared by dot
+    product against unit-norm centroids, which ranks identically to
+    cosine for a fixed input vector."""
+    dots = []
+    for j in range(centroids.shape[0]):
+        c = F.array(*[F.lit(float(x)) for x in centroids[j]])
+        dots.append(dot(vec_col, c))
+    arr = F.array(*dots)
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the table partitioned by IVF cell: a probe enumerates
+    its nprobe nearest cells and the scan prunes to those directories
+    (same partition-pruning contract as ``write_ann_index``, with a
+    learned quantizer instead of fixed hyperplanes)."""
+    (
+        df.withColumn("cell", _cell_expr(F.col(vec_col), centroids))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a ``write_ivf_index`` layout: rank cells by centroid
+    similarity to the query (driver numpy, k_cells-sized), scan only
+    the ``nprobe`` nearest (partition pruning), exact-cosine re-rank.
+    ``nprobe = n_cells`` probes everything and returns exactly the
+    brute-force answer — the recall knob is explicit."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(centroids[:, : len(qn)] @ qn), kind="stable")
+    cells = [int(c) for c in order[: max(1, nprobe)]]
+    qc = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(cells))
+        .select(id_col, F.round(cosine(F.col(vec_col), qc), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), id_col)
+        .limit(k)
+    )

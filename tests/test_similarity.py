@@ -84,3 +84,44 @@ def test_ann_indexed_layout_prunes_partitions(spark, tmp_path):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_ivf_index_and_probe(spark, tmp_path):
+    """IVF ANN: deterministic centroids, probe-all exactness, decent
+    partial-probe recall, and partition pruning in the probe plan."""
+    import numpy as np
+
+    from sems_event_deduplication_spark.operators.similarity import (
+        build_ivf_centroids, cosine_topk, ivf_topk, write_ivf_index,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim, n_cells = 400, 16, 8
+    # clustered data so IVF cells are meaningful
+    centers = rng.standard_normal((n_cells, dim)) * 3
+    rows = []
+    for i in range(n):
+        v = centers[i % n_cells] + rng.standard_normal(dim)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    c1 = build_ivf_centroids(df, n_cells=n_cells, seed=3, sample_n=128, iters=5)
+    c2 = build_ivf_centroids(
+        df.repartition(7), n_cells=n_cells, seed=3, sample_n=128, iters=5
+    )
+    assert np.allclose(c1, c2), "centroids must not depend on partitioning"
+
+    q = rows[0][1]
+    path = str(tmp_path / "ivf")
+    write_ivf_index(df.filter("vec_id <> 0"), path, c1)
+
+    exact = [r["vec_id"] for r in cosine_topk(df.filter("vec_id <> 0"), q, k=10).collect()]
+    probe_all = [r["vec_id"] for r in ivf_topk(spark, path, q, c1, k=10, nprobe=n_cells).collect()]
+    assert probe_all == exact, "nprobe=n_cells must equal brute force"
+
+    probe2 = ivf_topk(spark, path, q, c1, k=10, nprobe=2)
+    got = [r["vec_id"] for r in probe2.collect()]
+    recall = len(set(got) & set(exact)) / len(exact)
+    assert recall >= 0.8, f"nprobe=2 recall too low: {recall}"
+    plan = probe2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan
