@@ -47,6 +47,19 @@ def compare(name: str, spark_df, oracle_df) -> list[str]:
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c], b[c]
+            # the driver's value hash distinguishes 5 from 5.0: an
+            # int-vs-float dtype split between engines hash-mismatches
+            # even when every value compares equal (the round-1
+            # session_count_per_user failure class) — flag it here
+            if pd.api.types.is_numeric_dtype(av) and pd.api.types.is_numeric_dtype(bv):
+                a_float = pd.api.types.is_float_dtype(av)
+                b_float = pd.api.types.is_float_dtype(bv)
+                if a_float != b_float:
+                    problems.append(
+                        f"column {c}: dtype split spark={av.dtype} vs "
+                        f"oracle={bv.dtype} — driver value-hash will mismatch "
+                        "(cast both sides to the same family)"
+                    )
             if pd.api.types.is_numeric_dtype(av) and pd.api.types.is_numeric_dtype(bv):
                 close = np.isclose(
                     av.astype(float), bv.astype(float), rtol=0, atol=1e-9, equal_nan=True
