@@ -67,11 +67,21 @@ def verify_segment_overlap(
     )
 
 
+def landmark_inverted_index(sigs: DataFrame) -> DataFrame:
+    """(clip_id, landmarks) -> the (landmark -> clip) inverted index in
+    the banded shape lsh.candidate_pairs consumes."""
+    return sigs.select(
+        "clip_id", F.lit(0).alias("band_id"),
+        F.explode("landmarks").alias("band_hash"),
+    )
+
+
 def audio_offset_pairs_from_sigs(
     sigs: DataFrame,
     cfg: DedupConfig,
     containment_threshold: float = 0.8,
     min_shared_landmarks: int = 4,
+    sized_inverted: DataFrame | None = None,
 ) -> DataFrame:
     """Offset-audio dup pairs from an existing ``(clip_id, landmarks)``
     table (e.g. the pipeline's checkpointed signatures stage, which
@@ -85,10 +95,16 @@ def audio_offset_pairs_from_sigs(
     such pairs only survive if rarer landmarks also vote). Pairs need
     ``min_shared_landmarks`` co-occurrences before the exact-overlap
     verify — single-landmark collisions are noise.
+
+    ``sized_inverted``: pass a (persisted) ``lsh.size_buckets(
+    landmark_inverted_index(sigs))`` frame to share the index exchange
+    with a ``lsh.bucket_stats`` observability pass (the pipeline does;
+    stop-landmark recall loss must be visible, not inferred).
     """
-    inverted = sigs.select(
-        "clip_id", F.lit(0).alias("band_id"),
-        F.explode("landmarks").alias("band_hash"),
+    inverted = (
+        sized_inverted
+        if sized_inverted is not None
+        else landmark_inverted_index(sigs)
     )
     cands = lsh.candidate_pairs(inverted, cfg.max_bucket_size).filter(
         F.col("n_shared_bands") >= min_shared_landmarks

@@ -371,11 +371,18 @@ class DedupPipeline:
             )
             verified = verified.unionByName(pairs_audio)
 
+        sized_lm = None
         if offset_tier:
-            from ..operators.audio_segments import audio_offset_pairs_from_sigs
+            from ..operators.audio_segments import (
+                audio_offset_pairs_from_sigs, landmark_inverted_index,
+            )
 
+            # size the landmark inverted index once and share it between
+            # candidate generation and the stop-landmark cap stats
+            sized_lm = lsh.size_buckets(landmark_inverted_index(sigs)).persist()
             offset_pairs = audio_offset_pairs_from_sigs(
-                sigs, cfg, cfg.landmark_containment, cfg.landmark_min_shared
+                sigs, cfg, cfg.landmark_containment, cfg.landmark_min_shared,
+                sized_inverted=sized_lm,
             ).select(
                 "id_a", "id_b", F.lit(None).cast("double").alias("jaccard"),
                 F.lit("audio_offset").alias("kind"),
@@ -387,6 +394,14 @@ class DedupPipeline:
             F.sort_array(F.collect_set("kind")).alias("kinds"),
         )
         verified = stage(verified, "verified_pairs")
+        if sized_lm is not None:
+            # cache is populated by the verified materialization — the
+            # stop-landmark stats are now a cheap cached aggregate
+            row = lsh.bucket_stats(sized_lm, cfg.max_bucket_size).first()
+            lsh_stats["landmarks"] = {
+                k: int(v or 0) for k, v in row.asDict().items()
+            }
+            sized_lm.unpersist()
         sized_text.unpersist()
         if sized_audio is not None:
             sized_audio.unpersist()
