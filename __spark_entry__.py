@@ -1086,6 +1086,31 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(spark, path, qvec, cents, k=10, nprobe=len(cents))
 
 
+def q_silver_labels(spark, sf_dir):
+    """G6 + A7 end to end: pseudo-clusters = users restricted to their
+    sparse high-value events (value > 200), silver label = majority
+    event_type per cluster (ties -> lexicographic min), and clusters
+    whose ONLY type is 'error' (out-of-scope) are dropped by the A7
+    group-predicate anti-join. Output one row per surviving cluster."""
+    from sems_event_deduplication_spark.operators.silver import (
+        drop_all_oos_clusters, silver_labels,
+    )
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value") > 200)
+        .select(
+            F.col("user_id").alias("merged_component"),
+            F.col("event_type").alias("pred_event_type"),
+        )
+    )
+    kept = drop_all_oos_clusters(e, oos_label="error")
+    labeled = silver_labels(kept)
+    return labeled.select(
+        F.col("merged_component").alias("user_id"), "silver_label"
+    ).distinct()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_keeplast": q_exact_dedup_keeplast,
@@ -1131,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "multimodal_image_features": q_multimodal_image_features,
         "ivf_topk": q_ivf_topk,
+        "silver_labels": q_silver_labels,
     }
 
 
@@ -1765,5 +1791,19 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cosine
             FROM expl GROUP BY vec_id
             ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "silver_labels": """
+            WITH hv AS (
+              SELECT user_id, event_type FROM events WHERE value > 200),
+            bad AS (
+              SELECT user_id FROM hv GROUP BY user_id
+              HAVING count(DISTINCT event_type) = 1
+                 AND max(event_type) = 'error'),
+            kept AS (SELECT * FROM hv WHERE user_id NOT IN (SELECT user_id FROM bad))
+            SELECT user_id, event_type AS silver_label FROM (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY count(*) DESC, event_type) AS rn
+              FROM kept GROUP BY user_id, event_type) WHERE rn = 1
         """,
     }
