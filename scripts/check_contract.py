@@ -52,15 +52,12 @@ def compare(name: str, spark_df, oracle_df) -> list[str]:
             # even when every value compares equal (the round-1
             # session_count_per_user failure class) — flag it here
             if pd.api.types.is_numeric_dtype(av) and pd.api.types.is_numeric_dtype(bv):
-                a_float = pd.api.types.is_float_dtype(av)
-                b_float = pd.api.types.is_float_dtype(bv)
-                if a_float != b_float:
+                if pd.api.types.is_float_dtype(av) != pd.api.types.is_float_dtype(bv):
                     problems.append(
                         f"column {c}: dtype split spark={av.dtype} vs "
                         f"oracle={bv.dtype} — driver value-hash will mismatch "
                         "(cast both sides to the same family)"
                     )
-            if pd.api.types.is_numeric_dtype(av) and pd.api.types.is_numeric_dtype(bv):
                 close = np.isclose(
                     av.astype(float), bv.astype(float), rtol=0, atol=1e-9, equal_nan=True
                 )

@@ -53,17 +53,21 @@ class DedupConfig:
     landmark_min_shared: int = 4
 
     # --- exact-dedup payload re-attach (operators/exact_dedup.py) ----
-    exact_dedup_strategy: str = "anti_broadcast"
-                                  # anti_broadcast: broadcast the dropped-id
-                                  #   set + left_anti (default; dropped set
-                                  #   is small at realistic dup rates)
+    exact_dedup_strategy: str = "auto"
+                                  # auto (default): count the dropped ids
+                                  #   (one narrow job) and broadcast them
+                                  #   only under the cap — safe at any dup
+                                  #   rate, incl. boilerplate mega-dup
+                                  #   corpora where the dropped set itself
+                                  #   outgrows the driver
+                                  # anti_broadcast: always broadcast the
+                                  #   dropped-id set + left_anti (skip the
+                                  #   count when the dup rate is known low)
                                   # semi_broadcast: broadcast keepers (only
                                   #   when dup rate is huge)
                                   # shuffle: no broadcast — pair with tables
                                   #   bucketed on clip_id for a zero-Exchange
                                   #   join (WarehouseIO.save_bucketed)
-                                  # auto: count dropped ids, pick at
-                                  #   exact_dedup_max_broadcast_ids
     exact_dedup_max_broadcast_ids: int = 20_000_000
 
     # --- mid-stage commit granularity (SURVEY.md S8) -----------------

@@ -57,7 +57,7 @@ def exact_dedup_with_edges(
     text_col: str = "transcript_norm",
     payload_col: str | None = "bytes",
     order_col: str = "clip_id",
-    strategy: str = "anti_broadcast",
+    strategy: str = "auto",
     max_broadcast_ids: int = 20_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Exact dedup + the (kept_id, dropped_id) edge list.
@@ -72,7 +72,7 @@ def exact_dedup_with_edges(
     payload never rides the digest shuffle. Payload rows re-attach via
     an id join whose plan is picked by ``strategy``:
 
-    - ``anti_broadcast`` (default): broadcast the **dropped**-id set and
+    - ``anti_broadcast``: broadcast the **dropped**-id set and
       ``left_anti``-join the payload table against it. The dropped set
       is exactly what dedup removes — at a realistic dup rate it is a
       small fraction of the corpus, unlike the keeper set (≈ all rows),
@@ -83,8 +83,10 @@ def exact_dedup_with_edges(
       fallback when *both* id sets outgrow the driver; on a real
       cluster pair it with tables bucketed by ``id_col``
       (``WarehouseIO.save_bucketed``) so neither side exchanges.
-    - ``auto``: count the dropped ids (one cheap narrow job) and pick
-      ``anti_broadcast`` vs ``shuffle`` at ``max_broadcast_ids``.
+    - ``auto`` (default): count the dropped ids (one cheap narrow job)
+      and pick ``anti_broadcast`` vs ``shuffle`` at ``max_broadcast_ids``
+      — the only mode safe at ANY dup rate, so it is the default; the
+      explicit modes skip the count when the caller knows the shape.
 
     The old unconditional keeper broadcast was a driver bomb at scale
     (keepers ≈ all unique rows); explicit broadcast is still needed

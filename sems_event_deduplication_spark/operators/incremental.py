@@ -145,10 +145,17 @@ def incremental_dedup(
     ).select(
         F.col("id_new").alias("id_a"), F.col("id_indexed").alias("id_b")
     )
-    # verify across the two tables: sides lookup must see both
+    # verify across the two tables: sides lookup must see both. A batch
+    # id that ALSO exists in the index (re-ingest of an updated doc
+    # under its old id) must contribute only its batch-side signature —
+    # a duplicate clip_id row would fan every candidate out across both
+    # versions in the verify equi-join and emit conflicting jaccards.
+    index_only = index_sigs.join(
+        remaining.select("clip_id"), "clip_id", "left_anti"
+    )
     sides = remaining.select(
         "clip_id", "minhash_sig", "shingle_hashes"
-    ).unionByName(index_sigs.select("clip_id", "minhash_sig", "shingle_hashes"))
+    ).unionByName(index_only.select("clip_id", "minhash_sig", "shingle_hashes"))
     neardup_hits = verify_jaccard(
         cands, sides, cfg.num_perm, cfg.jaccard_threshold, cfg.est_margin,
         shingles_col="shingle_hashes",

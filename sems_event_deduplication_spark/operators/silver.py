@@ -197,6 +197,16 @@ def label_quota_pairs(
         labeled = labeler(
             balanced_random_pairs(members, id_col, seed=seed + r)
         ).filter(F.col("label").isin(labels))
+        # canonicalize the orientation BEFORE the distinct-merge: each
+        # round orients a pair by its own per-round hash order, so the
+        # same unordered pair drawn in two rounds can arrive as (x,y)
+        # and (y,x) — unmerged, it would double-count toward the quota
+        # and ship duplicate pairs into the training set
+        labeled = labeled.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "label",
+        )
         collected = (
             labeled
             if collected is None

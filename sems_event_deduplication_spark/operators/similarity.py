@@ -77,9 +77,11 @@ def make_planes(dim: int, n_bits: int, seed: int) -> np.ndarray:
 
 def _query_sig(query_vec: list[float], planes: np.ndarray) -> int:
     # the stored signature reads only the first planes.shape[1] dims
-    # (sign_bits_expr) — truncate the query the same way
+    # (sign_bits_expr) — truncate a longer query the same way; a query
+    # SHORTER than the plane dim projects onto the prefix planes
+    # (matching sign_bits_expr applied to a short stored vector)
     q = np.asarray(query_vec, dtype=np.float64)[: planes.shape[1]]
-    proj = planes @ q
+    proj = planes[:, : len(q)] @ q
     sig = 0
     for b in range(planes.shape[0]):
         if proj[b] > 0:

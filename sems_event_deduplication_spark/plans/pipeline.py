@@ -57,6 +57,13 @@ def _estimated_scan_partitions(df: DataFrame, max_partition_bytes: int = 64 << 2
 
     n = 0
     for f in files:
+        if not (f.startswith("file:") or f.startswith("/")):
+            # remote storage (hdfs://, s3a://, ...): os.path.getsize
+            # cannot stat it, and treating unknown files as size 0
+            # would under-estimate and trigger the payload-shuffling
+            # repartition this heuristic exists to avoid — assume the
+            # scan is adequately partitioned
+            return df.sparkSession.sparkContext.defaultParallelism * 4
         path = f[7:] if f.startswith("file://") else f.removeprefix("file:")
         try:
             size = os.path.getsize(path)

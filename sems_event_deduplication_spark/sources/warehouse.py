@@ -94,7 +94,11 @@ class WarehouseIO:
         exact-dedup payload re-attach at a scale where neither id set
         broadcasts). Bucketed output requires a catalog table
         (``saveAsTable``); the data itself lives under the warehouse
-        dir as ordinary parquet."""
+        dir as ordinary parquet. The catalog name is namespaced by a
+        hash of this warehouse's base dir — the catalog is session-
+        global, and two WarehouseIO instances writing a same-named
+        stage would otherwise silently repoint each other's tables."""
+        table = self._bucketed_table_name(name)
         writer = (
             df.write.mode("overwrite")
             .format("parquet")
@@ -103,14 +107,20 @@ class WarehouseIO:
         )
         if sort:
             writer = writer.sortBy(bucket_col)
-        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
-        writer.saveAsTable(name)
-        return self.spark.table(name)
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        writer.saveAsTable(table)
+        return self.spark.table(table)
+
+    def _bucketed_table_name(self, name: str) -> str:
+        import hashlib
+
+        suffix = hashlib.sha256(self.base_dir.encode()).hexdigest()[:12]
+        return f"{name}_wh{suffix}"
 
     def load_bucketed(self, name: str) -> DataFrame:
         """Read a bucketed table back *as* a bucketed table (the plain
         parquet path would lose the bucket metadata and re-shuffle)."""
-        return self.spark.table(name)
+        return self.spark.table(self._bucketed_table_name(name))
 
     def checkpoint_chunked(
         self,
@@ -133,17 +143,47 @@ class WarehouseIO:
         aligned with the *input* partitioning (e.g. a date bucket) and
         each chunk's pass prunes its scan to its own slice — that is the
         100 TB shape; a hash of the id re-scans the input per chunk and
-        is only sensible when the upstream is itself a checkpoint."""
+        is only sensible when the upstream is itself a checkpoint.
+
+        A non-resume run clears the stage directory first, and the
+        read-back enumerates exactly chunks 0..n_chunks-1 — stale
+        committed chunks from an earlier run with a larger ``n_chunks``
+        (or a different chunking key) can neither survive a fresh run
+        nor leak into the result of a resumed one. Lineage columns are
+        stamped like every other stage write."""
+        chunk_desc = f"{n_chunks}:{chunk_expr if isinstance(chunk_expr, str) else str(chunk_expr)}"
         if isinstance(chunk_expr, str):
             chunk_expr = F.pmod(F.xxhash64(F.col(chunk_expr)), F.lit(n_chunks))
         base = self._path(name)
-        for i in range(n_chunks):
-            sub = os.path.join(base, f"chunk={i}")
+        marker = os.path.join(base, "_chunking")
+        if resume:
+            # a resumed run must use the SAME chunk count and key as the
+            # interrupted one — otherwise committed chunks hold rows
+            # assigned under a different modulus and the result would
+            # silently lose/duplicate rows. A missing or mismatched
+            # marker invalidates the whole layout.
+            try:
+                with open(marker) as fh:
+                    resume = fh.read() == chunk_desc
+            except OSError:
+                resume = False
+        if not resume:
+            shutil.rmtree(base, ignore_errors=True)
+            os.makedirs(base, exist_ok=True)
+            with open(marker, "w") as fh:
+                fh.write(chunk_desc)
+        stamped = df.withColumn("_lineage_stage", F.lit(name)).withColumn(
+            "_lineage_part", F.spark_partition_id()
+        )
+        chunk_dirs = [os.path.join(base, f"chunk={i}") for i in range(n_chunks)]
+        for i, sub in enumerate(chunk_dirs):
             if resume and os.path.exists(os.path.join(sub, "_SUCCESS")):
                 continue
-            df.filter(chunk_expr == i).write.mode("overwrite").parquet(sub)
-        out = self.spark.read.option("basePath", base).parquet(base)
-        return out.drop("chunk")
+            stamped.filter(chunk_expr == i).write.mode("overwrite").parquet(sub)
+        # read back ONLY the expected chunk dirs (never `base` wholesale:
+        # a resumed run must not pick up stale extra chunk=* dirs)
+        out = self.spark.read.option("basePath", base).parquet(*chunk_dirs)
+        return out.drop("chunk", "_lineage_stage", "_lineage_part")
 
     def checkpoint(self, df: DataFrame, name: str, resume: bool = False) -> DataFrame:
         """Write-through checkpoint: reuse a committed table when

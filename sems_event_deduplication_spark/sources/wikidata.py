@@ -66,12 +66,16 @@ def read_wikidata_entities(spark: SparkSession, path: str) -> DataFrame:
 def first_claim_value(claims, props, field: str):
     """First non-null ``claims[prop][0].mainsnak.datavalue.value.field``
     over ``props`` in priority order — the reference's dict walk as one
-    coalesce expression."""
+    coalesce expression.
+
+    ``F.get`` (not ``getItem``): under ANSI mode (Spark 4 default, and
+    this session's) an out-of-bounds array index RAISES — one entity
+    with an empty statement array (``{"claims": {"P585": []}}``) would
+    kill the whole extract job. ``get`` returns null out of bounds."""
     claims = F.col(claims) if isinstance(claims, str) else claims
     return F.coalesce(
         *[
-            F.element_at(claims, p)
-            .getItem(0)
+            F.get(F.element_at(claims, p), 0)
             .getField("mainsnak")
             .getField("datavalue")
             .getField("value")

@@ -148,3 +148,21 @@ def test_label_quota_pairs(spark):
         assert r["label"] == want
     assert counts["different_event"] == 10  # plentiful label hits quota exactly
     assert counts["same_event"] >= 5  # rare label accumulates across rounds
+
+
+def test_label_quota_pairs_no_duplicate_orientations(spark):
+    """The same unordered pair drawn in two rounds under opposite
+    orientations must merge to ONE row, not double-count toward the
+    quota."""
+    from sems_event_deduplication_spark.operators.silver import label_quota_pairs
+
+    members = spark.createDataFrame([("a",), ("b",)], "clip_id string")
+
+    def labeler(pairs):
+        return pairs.withColumn("label", F.lit("same"))
+
+    out = label_quota_pairs(
+        members, labeler, labels=["same"], quota=2, max_rounds=4
+    ).collect()
+    keys = [(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])) for r in out]
+    assert len(keys) == len(set(keys)) == 1, keys

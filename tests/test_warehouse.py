@@ -75,3 +75,26 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
         spark.sql("DROP TABLE IF EXISTS wt_payload")
         spark.sql("DROP TABLE IF EXISTS wt_keepers")
+
+
+def test_checkpoint_chunked_stale_chunks_cleared(spark, tmp_path):
+    """A fresh (non-resume) run with fewer chunks must not read back
+    stale chunk dirs from an earlier larger-n_chunks run, and a resume
+    under a CHANGED chunk config must invalidate the old layout
+    (committed chunks hold rows assigned under a different modulus)."""
+    from sems_event_deduplication_spark.sources.warehouse import WarehouseIO
+
+    wh = WarehouseIO(spark, str(tmp_path))
+    df = spark.range(100).select(F.col("id").cast("string").alias("clip_id"))
+
+    out4 = wh.checkpoint_chunked(df, "s", "clip_id", n_chunks=4)
+    assert out4.count() == 100
+    out2 = wh.checkpoint_chunked(df, "s", "clip_id", n_chunks=2)
+    assert out2.count() == 100  # was 160 with stale chunk=2..3 leaking in
+
+    # resume with a different n_chunks: marker mismatch -> full rebuild
+    out3 = wh.checkpoint_chunked(df, "s", "clip_id", n_chunks=3, resume=True)
+    assert out3.count() == 100
+    assert sorted(r["clip_id"] for r in out3.collect()) == sorted(
+        str(i) for i in range(100)
+    )
