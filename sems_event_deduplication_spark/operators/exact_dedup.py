@@ -109,11 +109,17 @@ def exact_dedup_with_edges(
         ranked.filter(F.col("__rn") > 1)
         .select(F.col("__keeper").alias("id_a"), F.col(id_col).alias("id_b"))
     )
-    dropped_ids = edges.select(F.col("id_b").alias(id_col))
 
     if strategy == "auto":
-        n_dropped = dropped_ids.count()
+        # materialize the (tiny) edge list before counting it: the
+        # count's lineage otherwise re-runs the full digest scan —
+        # sha2 over the payload column — once for the count and again
+        # when the returned plans execute (a duplicated full payload
+        # pass at exactly the scale "auto" exists to protect)
+        edges = edges.localCheckpoint()
+        n_dropped = edges.count()
         strategy = "anti_broadcast" if n_dropped <= max_broadcast_ids else "shuffle"
+    dropped_ids = edges.select(F.col("id_b").alias(id_col))
 
     if strategy == "anti_broadcast":
         kept = df.join(F.broadcast(dropped_ids), id_col, "left_anti")

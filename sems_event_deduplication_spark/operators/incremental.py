@@ -29,7 +29,7 @@ the batch (small) side broadcasts per AQE.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..conf import DedupConfig
@@ -73,13 +73,11 @@ def batch_vs_index_candidates(
     flagged as a dup of the boilerplate family without emitting m
     pairs per band.
     """
-    w = Window.partitionBy("band_id", "band_hash")
     idx = (
-        index_banded.withColumn("__n", F.count(F.lit(1)).over(w))
-        .withColumn("__min", F.min("clip_id").over(w))
+        lsh.size_buckets(index_banded)
         .filter(
-            (F.col("__n") <= max_bucket_size)
-            | (F.col("clip_id") == F.col("__min"))
+            (F.col("__bucket_n") <= max_bucket_size)
+            | (F.col("clip_id") == F.col("__bucket_min"))
         )
         .select("band_id", "band_hash", F.col("clip_id").alias("id_indexed"))
     )
@@ -145,20 +143,16 @@ def incremental_dedup(
     ).select(
         F.col("id_new").alias("id_a"), F.col("id_indexed").alias("id_b")
     )
-    # verify across the two tables: sides lookup must see both. A batch
-    # id that ALSO exists in the index (re-ingest of an updated doc
-    # under its old id) must contribute only its batch-side signature —
-    # a duplicate clip_id row would fan every candidate out across both
-    # versions in the verify equi-join and emit conflicting jaccards.
-    index_only = index_sigs.join(
-        remaining.select("clip_id"), "clip_id", "left_anti"
-    )
-    sides = remaining.select(
-        "clip_id", "minhash_sig", "shingle_hashes"
-    ).unionByName(index_only.select("clip_id", "minhash_sig", "shingle_hashes"))
+    # verify across the two tables with ROLE-AWARE sides: id_a (the
+    # batch row) resolves against the batch signatures and id_b (the
+    # indexed row) against the index's. A clip_id existing in BOTH
+    # (re-ingest of an updated doc under its old id) is then compared
+    # new-version-vs-indexed-version — a single merged lookup table
+    # would either fan candidates across both versions or verify
+    # against the wrong one (and score self-pairs at jaccard 1.0).
     neardup_hits = verify_jaccard(
-        cands, sides, cfg.num_perm, cfg.jaccard_threshold, cfg.est_margin,
-        shingles_col="shingle_hashes",
+        cands, remaining, cfg.num_perm, cfg.jaccard_threshold, cfg.est_margin,
+        shingles_col="shingle_hashes", docs_b=index_sigs,
     ).select(
         F.col("id_a").alias("id_new"),
         F.col("id_b").alias("id_indexed"),

@@ -194,19 +194,18 @@ def label_quota_pairs(
     """
     collected: DataFrame | None = None
     for r in range(max_rounds):
-        labeled = labeler(
-            balanced_random_pairs(members, id_col, seed=seed + r)
-        ).filter(F.col("label").isin(labels))
-        # canonicalize the orientation BEFORE the distinct-merge: each
+        # canonicalize the orientation BEFORE labeling and merging: each
         # round orients a pair by its own per-round hash order, so the
         # same unordered pair drawn in two rounds can arrive as (x,y)
         # and (y,x) — unmerged, it would double-count toward the quota
-        # and ship duplicate pairs into the training set
-        labeled = labeled.select(
+        # and ship duplicate pairs into the training set. Canonicalizing
+        # before the labeler (not after) also keeps any orientation-
+        # sensitive label consistent with the ids it ships with.
+        drawn = balanced_random_pairs(members, id_col, seed=seed + r).select(
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
-            "label",
         )
+        labeled = labeler(drawn).filter(F.col("label").isin(labels))
         collected = (
             labeled
             if collected is None

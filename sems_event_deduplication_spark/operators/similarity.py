@@ -77,9 +77,11 @@ def make_planes(dim: int, n_bits: int, seed: int) -> np.ndarray:
 
 def _query_sig(query_vec: list[float], planes: np.ndarray) -> int:
     # the stored signature reads only the first planes.shape[1] dims
-    # (sign_bits_expr) — truncate a longer query the same way; a query
-    # SHORTER than the plane dim projects onto the prefix planes
-    # (matching sign_bits_expr applied to a short stored vector)
+    # (sign_bits_expr) — truncate a longer query the same way. A query
+    # SHORTER than the plane dim projects onto the prefix planes (best
+    # effort; note stored vectors must be >= the plane dim, since
+    # sign_bits_expr's out-of-range element_at nulls the whole
+    # projection and yields sig=0 for short STORED vectors)
     q = np.asarray(query_vec, dtype=np.float64)[: planes.shape[1]]
     proj = planes[:, : len(q)] @ q
     sig = 0
@@ -215,6 +217,11 @@ def build_ivf_centroids(
         .limit(sample_n)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "build_ivf_centroids: input DataFrame has no rows — an IVF "
+            "quantizer cannot be trained on an empty table"
+        )
     X = np.asarray([r["__v"] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed + 15_485_863)
@@ -278,15 +285,11 @@ def ivf_topk(
     the ``nprobe`` nearest (partition pruning), exact-cosine re-rank.
     ``nprobe = n_cells`` probes everything and returns exactly the
     brute-force answer — the recall knob is explicit."""
-    q = np.asarray(query_vec, dtype=np.float64)
+    # a query longer than the centroid dim ranks cells by its prefix
+    # (mirrors _query_sig's truncation for the LSH path)
+    q = np.asarray(query_vec, dtype=np.float64)[: centroids.shape[1]]
     qn = q / max(np.linalg.norm(q), 1e-12)
     order = np.argsort(-(centroids[:, : len(qn)] @ qn), kind="stable")
     cells = [int(c) for c in order[: max(1, nprobe)]]
-    qc = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        spark.read.parquet(path)
-        .filter(F.col("cell").isin(cells))
-        .select(id_col, F.round(cosine(F.col(vec_col), qc), 6).alias("cosine"))
-        .orderBy(F.col("cosine").desc(), id_col)
-        .limit(k)
-    )
+    pruned = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    return cosine_topk(pruned, query_vec, k=k, id_col=id_col, vec_col=vec_col)

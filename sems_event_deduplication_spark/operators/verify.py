@@ -32,13 +32,22 @@ from ..functions.minhash import estimated_jaccard, exact_jaccard
 
 
 def attach_pair_sides(
-    pairs: DataFrame, sides: DataFrame, cols: list[str], id_col: str = "clip_id"
+    pairs: DataFrame,
+    sides: DataFrame,
+    cols: list[str],
+    id_col: str = "clip_id",
+    sides_b: DataFrame | None = None,
 ) -> DataFrame:
-    """pairs(id_a, id_b) x sides(id, cols...) -> pairs + cols_a + cols_b."""
+    """pairs(id_a, id_b) x sides(id, cols...) -> pairs + cols_a + cols_b.
+
+    ``sides_b``: a distinct lookup table for the b side — the
+    cross-table shape (e.g. batch-vs-index verification, where the same
+    clip_id may exist in BOTH tables with different signatures and each
+    role must resolve against its own version)."""
     a = sides.select(
         F.col(id_col).alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in cols]
     )
-    b = sides.select(
+    b = (sides_b if sides_b is not None else sides).select(
         F.col(id_col).alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in cols]
     )
     return pairs.join(a, "id_a").join(b, "id_b")
@@ -53,14 +62,26 @@ def verify_jaccard(
     id_col: str = "clip_id",
     sig_col: str = "minhash_sig",
     shingles_col: str = "shingles",
+    docs_b: DataFrame | None = None,
 ) -> DataFrame:
     """Candidates -> verified text pairs with exact Jaccard >= t.
 
     Two-tier: signature-estimate prefilter (>= t - margin), then exact
     Jaccard on shingle arrays. Returns (id_a, id_b, jaccard).
+
+    ``docs_b``: separate lookup table for the b side (cross-table
+    verification — each role resolves against its own version even when
+    an id exists in both tables).
     """
     sides = docs.select(id_col, sig_col, shingles_col)
-    joined = attach_pair_sides(pairs, sides, [sig_col, shingles_col], id_col)
+    sides_b = (
+        docs_b.select(id_col, sig_col, shingles_col)
+        if docs_b is not None
+        else None
+    )
+    joined = attach_pair_sides(
+        pairs, sides, [sig_col, shingles_col], id_col, sides_b=sides_b
+    )
     est = estimated_jaccard(F.col(f"{sig_col}_a"), F.col(f"{sig_col}_b"), num_perm)
     prefiltered = joined.withColumn("__est", est).filter(
         F.col("__est") >= F.lit(max(0.0, jaccard_threshold - est_margin))
