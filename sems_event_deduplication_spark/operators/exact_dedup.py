@@ -51,6 +51,39 @@ def exact_dedup_by_content(
     return out.drop(*key_names)
 
 
+def digest_rank_edges(
+    narrow: DataFrame,
+    key_names: list[str],
+    id_col: str = "clip_id",
+    order_col: str = "clip_id",
+) -> DataFrame:
+    """The keep-last ranking core: (id, order, digest keys) ->
+    (id_a = keeper, id_b = dropped) edge list. Shared by
+    ``exact_dedup_with_edges`` and the pipeline's fused scan path so
+    keep-last semantics and edge orientation cannot drift apart."""
+    w = Window.partitionBy(*key_names).orderBy(F.col(order_col).desc())
+    ranked = narrow.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__keeper", F.first(F.col(id_col)).over(w)
+    )
+    return (
+        ranked.filter(F.col("__rn") > 1)
+        .select(F.col("__keeper").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+
+
+def resolve_dedup_strategy(
+    strategy: str, dropped_ids: DataFrame, max_broadcast_ids: int
+) -> str:
+    """'auto' -> count the dropped ids and pick anti_broadcast vs
+    shuffle at the cap. Callers must hand in a MATERIALIZED dropped-id
+    frame (checkpointed edges / warehouse table) — counting a lazy
+    frame would re-run its whole lineage."""
+    if strategy != "auto":
+        return strategy
+    n = dropped_ids.count()
+    return "anti_broadcast" if n <= max_broadcast_ids else "shuffle"
+
+
 def exact_dedup_with_edges(
     df: DataFrame,
     id_col: str = "clip_id",
@@ -59,6 +92,7 @@ def exact_dedup_with_edges(
     order_col: str = "clip_id",
     strategy: str = "auto",
     max_broadcast_ids: int = 20_000_000,
+    precomputed_edges: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Exact dedup + the (kept_id, dropped_id) edge list.
 
@@ -92,39 +126,43 @@ def exact_dedup_with_edges(
     (keepers ≈ all unique rows); explicit broadcast is still needed
     because AQE materializes both shuffle sides before converting a
     sort-merge join, which would exchange the payload.
+
+    ``precomputed_edges``: an already-materialized edge table (e.g. a
+    committed warehouse checkpoint on resume) — the digest scan and
+    ranking are skipped entirely, so a resumed run never re-pays the
+    payload-digest pass.
     """
-    key_names = ["__k_text"]
-    digests = [F.sha2(F.col(text_col), 256).alias("__k_text")]
-    if payload_col is not None:
-        key_names.append("__k_payload")
-        digests.append(F.sha2(F.col(payload_col), 256).alias("__k_payload"))
-    base_cols = [id_col] if order_col == id_col else [id_col, order_col]
-    narrow = df.select(*base_cols, *digests)
+    if precomputed_edges is not None:
+        edges = precomputed_edges
+    else:
+        key_names = ["__k_text"]
+        digests = [F.sha2(F.col(text_col), 256).alias("__k_text")]
+        if payload_col is not None:
+            key_names.append("__k_payload")
+            digests.append(F.sha2(F.col(payload_col), 256).alias("__k_payload"))
+        base_cols = [id_col] if order_col == id_col else [id_col, order_col]
+        edges = digest_rank_edges(
+            df.select(*base_cols, *digests), key_names, id_col, order_col
+        )
+        if strategy == "auto":
+            # materialize the (tiny) edge list before the auto count:
+            # the count's lineage otherwise re-runs the full digest
+            # scan — sha2 over the payload column — once for the count
+            # and again when the returned plans execute (a duplicated
+            # full payload pass at exactly the scale "auto" protects)
+            edges = edges.localCheckpoint()
 
-    w = Window.partitionBy(*key_names).orderBy(F.col(order_col).desc())
-    ranked = narrow.withColumn("__rn", F.row_number().over(w)).withColumn(
-        "__keeper", F.first(F.col(id_col)).over(w)
+    strategy = resolve_dedup_strategy(
+        strategy,
+        edges.select(F.col("id_b").alias(id_col)),
+        max_broadcast_ids,
     )
-    edges = (
-        ranked.filter(F.col("__rn") > 1)
-        .select(F.col("__keeper").alias("id_a"), F.col(id_col).alias("id_b"))
-    )
-
-    if strategy == "auto":
-        # materialize the (tiny) edge list before counting it: the
-        # count's lineage otherwise re-runs the full digest scan —
-        # sha2 over the payload column — once for the count and again
-        # when the returned plans execute (a duplicated full payload
-        # pass at exactly the scale "auto" exists to protect)
-        edges = edges.localCheckpoint()
-        n_dropped = edges.count()
-        strategy = "anti_broadcast" if n_dropped <= max_broadcast_ids else "shuffle"
     dropped_ids = edges.select(F.col("id_b").alias(id_col))
 
     if strategy == "anti_broadcast":
         kept = df.join(F.broadcast(dropped_ids), id_col, "left_anti")
     elif strategy == "semi_broadcast":
-        keep_ids = ranked.filter(F.col("__rn") == 1).select(id_col)
+        keep_ids = df.select(id_col).join(dropped_ids, id_col, "left_anti")
         kept = df.join(F.broadcast(keep_ids), id_col, "left_semi")
     elif strategy == "shuffle":
         kept = df.join(dropped_ids, id_col, "left_anti")

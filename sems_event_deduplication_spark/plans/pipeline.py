@@ -261,31 +261,50 @@ class DedupPipeline:
             sigs_all = sig_stage(
                 add_signature_columns(enriched).select(*sig_cols, *keys)
             )
-            from pyspark.sql import Window
-
-            w = Window.partitionBy(*keys).orderBy(F.col("clip_id").desc())
-            ranked = (
-                sigs_all.select("clip_id", *keys)
-                .withColumn("__rn", F.row_number().over(w))
-                .withColumn("__keeper", F.first("clip_id").over(w))
+            from ..operators.exact_dedup import (
+                digest_rank_edges, resolve_dedup_strategy,
             )
+
             exact_edges = stage(
-                ranked.filter(F.col("__rn") > 1).select(
-                    F.col("__keeper").alias("id_a"), F.col("clip_id").alias("id_b")
-                ),
+                digest_rank_edges(sigs_all.select("clip_id", *keys), keys),
                 "exact_edges",
             )
+            # same driver-safety gate as the dedup_first path: the
+            # checkpointed edge table makes the 'auto' count a cheap
+            # narrow scan, and above the cap the anti-join runs without
+            # a broadcast hint instead of force-broadcasting an
+            # arbitrarily large dropped-id set
             dropped = exact_edges.select(F.col("id_b").alias("clip_id"))
-            sigs = sigs_all.join(
-                F.broadcast(dropped), "clip_id", "left_anti"
-            ).drop(*keys)
+            strat = resolve_dedup_strategy(
+                cfg.exact_dedup_strategy, dropped,
+                cfg.exact_dedup_max_broadcast_ids,
+            )
+            if strat == "semi_broadcast":
+                keep = sigs_all.select("clip_id").join(
+                    dropped, "clip_id", "left_anti"
+                )
+                sigs = sigs_all.join(F.broadcast(keep), "clip_id", "left_semi")
+            elif strat == "shuffle":
+                sigs = sigs_all.join(dropped, "clip_id", "left_anti")
+            else:
+                sigs = sigs_all.join(F.broadcast(dropped), "clip_id", "left_anti")
+            sigs = sigs.drop(*keys)
         else:
             # ---- exact dedup on content digests (reference ordering) -----
+            # resume gate: with the edge table already committed, hand it
+            # to the operator so neither the 'auto' count nor the ranking
+            # re-runs the payload digest scan a resumed run exists to skip
+            pre_edges = (
+                self.wh.load_clean("exact_edges")
+                if resume and self.wh.exists("exact_edges")
+                else None
+            )
             exact, exact_edges = exact_dedup_with_edges(
                 normalized, text_col="transcript_norm",
                 payload_col="bytes" if with_audio else None, order_col="clip_id",
                 strategy=cfg.exact_dedup_strategy,
                 max_broadcast_ids=cfg.exact_dedup_max_broadcast_ids,
+                precomputed_edges=pre_edges,
             )
             exact = maybe_stage(exact, "exact_dedup")
             # always materialize the (tiny) exact-dup edge list: left lazy

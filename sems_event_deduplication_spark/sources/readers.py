@@ -49,13 +49,22 @@ def read_csv_with_filename_dates(
     """
     df = spark.read.schema(schema).option("header", "true").csv(glob_path)
     fname = F.input_file_name()
+    # try_to_date, not to_date: regexp_extract yields '' for a file
+    # whose name lacks the pattern, and to_date('') RAISES under ANSI
+    # mode (Spark 4 default) — one stray summary.csv in the glob would
+    # kill the whole scan; unmatched files get null dates instead
     return df.withColumn(
-        "start_date", F.to_date(F.regexp_extract(fname, date_pattern, 1))
-    ).withColumn("end_date", F.to_date(F.regexp_extract(fname, date_pattern, 2)))
+        "start_date", F.try_to_date(F.regexp_extract(fname, date_pattern, 1))
+    ).withColumn("end_date", F.try_to_date(F.regexp_extract(fname, date_pattern, 2)))
 
 
 def union_hierarchical(parts: list[DataFrame]) -> DataFrame:
     """S3: n-level concat with missing-column tolerance."""
+    if not parts:
+        raise ValueError(
+            "union_hierarchical: no parts to union (the source glob "
+            "matched zero tables)"
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)

@@ -4,9 +4,11 @@ The reference is wholly batch (SURVEY.md §2.10); streaming here covers
 the ingest-side operators a 10^12-scale pipeline needs in front of the
 batch dedup stages:
 
-- ``streaming_exact_dedup``: watermarked ``dropDuplicates`` on the
+- ``streaming_exact_dedup``: ``dropDuplicatesWithinWatermark`` on the
   content digest — exact dedup of an unbounded clip stream with
-  bounded state.
+  bounded state (plain ``dropDuplicates`` only evicts state when the
+  event-time column is part of the KEY, which it must not be here —
+  same content at different times is still a dup).
 - ``streaming_signature_counts``: windowed near-dup *pressure* metric
   (distinct rolling-fingerprint count per window) — cheap online
   signal of duplication rate feeding the batch scheduler.
@@ -30,6 +32,15 @@ def streaming_exact_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataF
     Key = sha2 of normalized transcript + sha2 payload; state for keys
     older than the watermark is dropped (at 10^12 scale unbounded
     dedup state is impossible — the watermark IS the design decision).
+
+    ``dropDuplicatesWithinWatermark``, NOT ``dropDuplicates``: the
+    plain variant only applies watermark eviction when the event-time
+    column is among the key columns, and keying on ``ts`` would defeat
+    content dedup — measured on this Spark build, the plain form's
+    state grew monotonically (numRowsRemoved=0) as the watermark
+    advanced. The WithinWatermark form evicts keys older than the
+    watermark; a duplicate arriving later than the window re-emits,
+    which is the documented bounded-state tradeoff.
     """
     keyed = stream.withColumn(
         "ts", F.col("ts").cast("timestamp")
@@ -44,7 +55,7 @@ def streaming_exact_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataF
             256,
         ),
     )
-    return keyed.withWatermark("ts", watermark).dropDuplicates(["content_key"])
+    return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["content_key"])
 
 
 def streaming_signature_counts(
@@ -239,9 +250,12 @@ def streaming_neardup_candidates(
     )
 
 
-def run_stream_to_memory(agg: DataFrame, name: str, output_mode: str = "complete"):
+def run_stream_to_memory(agg: DataFrame, name: str, output_mode: str = "append"):
     """Drive a bounded source to completion synchronously; returns the
-    in-memory result table name."""
+    in-memory result table name. Default mode is "append" — the only
+    mode all three operators in this module accept (dropDuplicates and
+    the append-mode stateful op reject "complete"); the windowed
+    aggregation passes "complete" explicitly."""
     q = (
         agg.writeStream.outputMode(output_mode)
         .format("memory")
