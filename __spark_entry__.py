@@ -339,17 +339,11 @@ def q_revenue_by_segment(spark, sf_dir):
 
 def q_embedding_cosine_topk(spark, sf_dir):
     """Similarity search: brute-force cosine top-10 vs vec_id=0."""
+    from sems_event_deduplication_spark.operators.similarity import dot
+
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
-
-    def dot(u, v):
-        return F.aggregate(
-            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     cos = dot(F.col("embedding"), F.col("qv")) / (
         F.sqrt(dot(F.col("embedding"), F.col("embedding")))
         * F.sqrt(dot(F.col("qv"), F.col("qv")))
@@ -377,7 +371,10 @@ def q_text_quality(spark, sf_dir):
     words = X.word_tokens(F.col("text"))
     n_words = F.size(words)
     n_stop = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
-    ratio = F.round(n_stop.cast("double") / n_words, 6)
+    # greatest(n,1): an empty document would divide by zero, which
+    # RAISES under ANSI mode (Spark 4 default) — one degenerate row
+    # would kill the query; the oracle guards identically
+    ratio = F.round(n_stop.cast("double") / F.greatest(n_words, F.lit(1)), 6)
     return d.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
@@ -737,13 +734,19 @@ def q_wikidata_event_claims(spark, sf_dir):
 
 def q_incremental_dedup(spark, sf_dir):
     """Incremental batch-vs-index dedup (operators/incremental.py): a
-    synthetic batch of 10 exact copies ('x*'), 10 tail-edited near dups
-    ('m*', planted J >= 0.9 so LSH recall is ~1 by construction), and
+    synthetic batch of 10 exact copies ('x*'), 10 tail-edited rows
+    ('m*', fixed-length appended tail so true Jaccard spans ~0.6-0.9 —
+    the ones >= 0.8 are near dups, the shortest docs legitimately fall
+    below the threshold and both engines classify them novel), and
     10 novel rows ('n*') deduped against the signed documents corpus.
     Output: (id_new, kind in exact|near|novel), 30 rows. The DuckDB
     oracle classifies by normalized-text equality and true shingle
     Jaccard >= t — so the LSH+verify path must agree with exhaustive
-    truth, not just return rows."""
+    truth, not just return rows. (The oracle does not model LSH band
+    misses or the stop-bucket cap; at this scale no index bucket nears
+    the cap and band-miss probability at the planted J values is
+    ~1e-5, so exhaustive truth and the approximate path coincide by
+    construction of the fixture.)"""
     from sems_event_deduplication_spark.conf import DedupConfig
     from sems_event_deduplication_spark.operators.incremental import (
         incremental_dedup, sign_batch,
@@ -985,15 +988,9 @@ def q_embedding_neardup_pairs(spark, sf_dir):
     LSH prefilter / partitioned ANN index (operators/similarity.py) —
     the `ann_topk_indexed` contract query checks that path's recall
     contract."""
+    from sems_event_deduplication_spark.operators.similarity import dot
+
     e = _t(spark, sf_dir, "embeddings")
-
-    def dot(u, v):
-        return F.aggregate(
-            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -1201,10 +1198,17 @@ _SIMHASH_SQL = """
 
 _SIMHASH_HAM = "(CASE WHEN substring(a.simhash16, 1, 1) <> substring(b.simhash16, 1, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 2, 1) <> substring(b.simhash16, 2, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 3, 1) <> substring(b.simhash16, 3, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 4, 1) <> substring(b.simhash16, 4, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 5, 1) <> substring(b.simhash16, 5, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 6, 1) <> substring(b.simhash16, 6, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 7, 1) <> substring(b.simhash16, 7, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 8, 1) <> substring(b.simhash16, 8, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 9, 1) <> substring(b.simhash16, 9, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 10, 1) <> substring(b.simhash16, 10, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 11, 1) <> substring(b.simhash16, 11, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 12, 1) <> substring(b.simhash16, 12, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 13, 1) <> substring(b.simhash16, 13, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 14, 1) <> substring(b.simhash16, 14, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 15, 1) <> substring(b.simhash16, 15, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(a.simhash16, 16, 1) <> substring(b.simhash16, 16, 1) THEN 1 ELSE 0 END)"
 
+# mirrors functions/text.char_shingles exactly: distinct 9-grams, whole
+# string when 0 < len < 9, nothing when empty; the offset series bound is
+# far above any document length so long docs are never under-shingled
 _SHINGLES = (
-    "SELECT DISTINCT d.doc_id, substring(d.text, CAST(n.i AS INT), 9) AS sh "
-    "FROM documents d JOIN (SELECT unnest(generate_series(1, 4000)) AS i) n "
-    "ON n.i <= length(d.text) - 8"
+    "SELECT DISTINCT doc_id, sh FROM ("
+    "SELECT d.doc_id, substring(d.text, CAST(n.i AS INT), 9) AS sh "
+    "FROM documents d JOIN (SELECT unnest(generate_series(1, 100000)) AS i) n "
+    "ON n.i <= length(d.text) - 8 "
+    "UNION ALL "
+    "SELECT doc_id, text AS sh FROM documents "
+    "WHERE length(text) BETWEEN 1 AND 8)"
 )
 
 # shared scored-events confusion matrix for the A11 metrics oracles:
@@ -1369,7 +1373,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id,
                    len(words) AS n_words,
-                   round(CAST(len(list_filter(words, t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE) / len(words), 6) AS stopword_ratio,
+                   round(CAST(len(list_filter(words, t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE) / greatest(len(words), 1), 6) AS stopword_ratio,
                    CASE WHEN len(words) >= 60 THEN 'long'
                         WHEN len(words) >= 30 THEN 'medium'
                         ELSE 'short' END AS len_bucket
@@ -1438,7 +1442,7 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes sa ON sa.source = src_a
             JOIN sizes sb ON sb.source = src_b
-            WHERE n_inter / greatest(sa.n, sb.n) >= 0.5
+            WHERE round(n_inter / greatest(sa.n, sb.n), 6) >= 0.5
         """,
         "classification_report": f"""
             WITH m AS ({_CLS_CONFUSION})
@@ -1564,14 +1568,22 @@ def oracle_sql() -> dict[str, str]:
             exact AS (
               SELECT DISTINCT b.id_new FROM bnorm b JOIN inorm i ON b.norm = i.norm),
             bsh AS (
-              SELECT DISTINCT b.id_new, substring(b.norm, CAST(n.i AS INT), 9) AS sh
-              FROM bnorm b JOIN (SELECT unnest(generate_series(1, 4000)) AS i) n
-                ON n.i <= length(b.norm) - 8
-              WHERE b.id_new NOT IN (SELECT id_new FROM exact)),
+              SELECT DISTINCT id_new, sh FROM (
+                SELECT b.id_new, substring(b.norm, CAST(n.i AS INT), 9) AS sh
+                FROM bnorm b JOIN (SELECT unnest(generate_series(1, 100000)) AS i) n
+                  ON n.i <= length(b.norm) - 8
+                UNION ALL
+                SELECT id_new, norm AS sh FROM bnorm
+                WHERE length(norm) BETWEEN 1 AND 8)
+              WHERE id_new NOT IN (SELECT id_new FROM exact)),
             ish AS (
-              SELECT DISTINCT d.doc_id, substring(d.norm, CAST(n.i AS INT), 9) AS sh
-              FROM inorm d JOIN (SELECT unnest(generate_series(1, 4000)) AS i) n
-                ON n.i <= length(d.norm) - 8),
+              SELECT DISTINCT doc_id, sh FROM (
+                SELECT d.doc_id, substring(d.norm, CAST(n.i AS INT), 9) AS sh
+                FROM inorm d JOIN (SELECT unnest(generate_series(1, 100000)) AS i) n
+                  ON n.i <= length(d.norm) - 8
+                UNION ALL
+                SELECT doc_id, norm AS sh FROM inorm
+                WHERE length(norm) BETWEEN 1 AND 8)),
             bs AS (SELECT id_new, count(*) AS nb FROM bsh GROUP BY 1),
             isz AS (SELECT doc_id, count(*) AS ni FROM ish GROUP BY 1),
             inter AS (

@@ -107,7 +107,7 @@ def gen_corpus(spark, corpus_dir: str, n_base: int, dur_lo: float, dur_hi: float
 
 
 def run_audio_dedup(spark, corpus_dir: str | None) -> tuple[int, float, dict]:
-    """Returns (n_clips, wall_sec).
+    """Returns (n_clips, wall_sec, per-stage metrics dict).
 
     Setup (untimed): materialize the synthetic corpus as a parquet
     table + warm the Python workers — the pipeline's contract is to
@@ -222,8 +222,15 @@ def run_scaling(sf_dir: str) -> dict:
                  "SPARK_GRAFT_CORPUS": corpus_dir},
             timeout=3000,
         )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
+        json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not json_lines:
+            # surface the child's actual error instead of dying with an
+            # opaque IndexError on the missing JSON line
+            raise RuntimeError(
+                f"scaling leg local[{cores}] failed (rc={out.returncode}); "
+                f"stderr tail:\n{out.stderr[-2000:]}"
+            )
+        results[cores] = json.loads(json_lines[-1])
     t2 = results[2]["queries"]["audio_dedup_e2e"]
     t8 = results[8]["queries"]["audio_dedup_e2e"]
     t32 = results[32]["queries"]["audio_dedup_e2e"]
