@@ -171,3 +171,61 @@ def test_chunked_signature_commits(spark, corpus):
         os.remove(f"{base}/{c}/_SUCCESS")
     res3 = DedupPipeline(spark, cfg_c, wh).run(corpus, resume=True, with_audio=True)
     assert cm(res3) == cm(res2)
+
+
+def test_boilerplate_mega_bucket_star_cap(spark):
+    """Skew survival: a planted boilerplate family far above
+    max_bucket_size must (a) not blow up the candidate join into m^2
+    pairs — the star-edge cap degrades its buckets to O(m) edges and
+    REPORTS it via lsh_stats — and (b) still come out as one exact
+    cluster, because star edges preserve connectivity."""
+    import tempfile
+
+    import pandas as pd
+    from dataclasses import replace
+
+    from sems_event_deduplication_spark.synth import (
+        AUDIO_CLIPS_SCHEMA, make_corpus_pdf,
+    )
+
+    base = make_corpus_pdf(n_base=40, seed=9)
+    boiler_text = (
+        "subscribe to our newsletter for the latest updates and offers "
+        "terms and conditions apply all rights reserved contact support"
+    )
+    rows = []
+    for i in range(800):
+        # near-identical boilerplate rows (tiny numeric suffix keeps
+        # them non-exact so they reach the LSH tier, J >> threshold)
+        rows.append({
+            "clip_id": f"bp{i:04d}",
+            "bytes": bytes(base["bytes"].iloc[i % len(base)]),
+            "sr_hz": 16000,
+            "dur_ms": 1000,
+            "codec": "pcm_s16le",
+            # unique per-row suffix: keeps every row NON-exact (so the
+            # family reaches the LSH tier rather than exact dedup) while
+            # J stays ~0.95 — one mega bucket per band
+            "transcript": f"{boiler_text} ref {i:04d}",
+        })
+    pdf = pd.concat([base, pd.DataFrame(rows)], ignore_index=True)
+    df = spark.createDataFrame(pdf, schema=AUDIO_CLIPS_SCHEMA)
+
+    cfg = replace(DedupConfig(), max_bucket_size=64)
+    wh = WarehouseIO(spark, tempfile.mkdtemp(prefix="wh_skew_"))
+    res = DedupPipeline(spark, cfg, wh).run(
+        df, with_audio=False, checkpoint_mode="min", payload_in_survivors=False
+    )
+    # member_ids is capped for mega clusters (by design) — read the
+    # full assignment from the components stage table instead
+    comp = {
+        r["clip_id"]: r["component"]
+        for r in spark.read.parquet(wh.base_dir + "/components").collect()
+    }
+    bp_components = {comp[f"bp{i:04d}"] for i in range(800)}
+    assert len(bp_components) == 1, (
+        f"boilerplate family split into {len(bp_components)} components"
+    )
+    stats = res.lsh_stats["text"]
+    assert stats["n_star_buckets"] > 0, stats
+    assert stats["n_pairs_not_enumerated"] > 0, stats
