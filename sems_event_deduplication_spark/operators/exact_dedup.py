@@ -84,6 +84,43 @@ def resolve_dedup_strategy(
     return "anti_broadcast" if n <= max_broadcast_ids else "shuffle"
 
 
+def kept_from_edges(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str = "clip_id",
+    strategy: str = "auto",
+    max_broadcast_ids: int = 20_000_000,
+) -> DataFrame:
+    """Keeper rows of ``df`` given a MATERIALIZED edge table (e.g. a
+    warehouse checkpoint): resolve the re-attach strategy (auto counts
+    the cheap materialized table, never the payload lineage) and apply
+    the corresponding join. Shared by both pipeline scan modes."""
+    dropped_ids = edges.select(F.col("id_b").alias(id_col))
+    strategy = resolve_dedup_strategy(strategy, dropped_ids, max_broadcast_ids)
+    if strategy == "anti_broadcast":
+        return df.join(F.broadcast(dropped_ids), id_col, "left_anti")
+    if strategy == "semi_broadcast":
+        keep_ids = df.select(id_col).join(dropped_ids, id_col, "left_anti")
+        return df.join(F.broadcast(keep_ids), id_col, "left_semi")
+    if strategy == "shuffle":
+        return df.join(dropped_ids, id_col, "left_anti")
+    raise ValueError(f"unknown exact-dedup strategy: {strategy!r}")
+
+
+def exact_dedup_digest_keys(
+    text_col: str, payload_col: str | None
+) -> tuple[list[str], list]:
+    """(key column names, digest select expressions) for content-hash
+    exact dedup — one definition shared by the operator and both
+    pipeline scan modes."""
+    key_names = ["__k_text"]
+    digests = [F.sha2(F.col(text_col), 256).alias("__k_text")]
+    if payload_col is not None:
+        key_names.append("__k_payload")
+        digests.append(F.sha2(F.col(payload_col), 256).alias("__k_payload"))
+    return key_names, digests
+
+
 def exact_dedup_with_edges(
     df: DataFrame,
     id_col: str = "clip_id",
@@ -135,11 +172,7 @@ def exact_dedup_with_edges(
     if precomputed_edges is not None:
         edges = precomputed_edges
     else:
-        key_names = ["__k_text"]
-        digests = [F.sha2(F.col(text_col), 256).alias("__k_text")]
-        if payload_col is not None:
-            key_names.append("__k_payload")
-            digests.append(F.sha2(F.col(payload_col), 256).alias("__k_payload"))
+        key_names, digests = exact_dedup_digest_keys(text_col, payload_col)
         base_cols = [id_col] if order_col == id_col else [id_col, order_col]
         edges = digest_rank_edges(
             df.select(*base_cols, *digests), key_names, id_col, order_col
@@ -149,23 +182,11 @@ def exact_dedup_with_edges(
             # the count's lineage otherwise re-runs the full digest
             # scan — sha2 over the payload column — once for the count
             # and again when the returned plans execute (a duplicated
-            # full payload pass at exactly the scale "auto" protects)
+            # full payload pass at exactly the scale "auto" protects).
+            # (The pipeline avoids even this single extra
+            # materialization by staging the edges to the warehouse
+            # first and calling kept_from_edges on the committed table.)
             edges = edges.localCheckpoint()
 
-    strategy = resolve_dedup_strategy(
-        strategy,
-        edges.select(F.col("id_b").alias(id_col)),
-        max_broadcast_ids,
-    )
-    dropped_ids = edges.select(F.col("id_b").alias(id_col))
-
-    if strategy == "anti_broadcast":
-        kept = df.join(F.broadcast(dropped_ids), id_col, "left_anti")
-    elif strategy == "semi_broadcast":
-        keep_ids = df.select(id_col).join(dropped_ids, id_col, "left_anti")
-        kept = df.join(F.broadcast(keep_ids), id_col, "left_semi")
-    elif strategy == "shuffle":
-        kept = df.join(dropped_ids, id_col, "left_anti")
-    else:
-        raise ValueError(f"unknown exact-dedup strategy: {strategy!r}")
+    kept = kept_from_edges(df, edges, id_col, strategy, max_broadcast_ids)
     return kept, edges

@@ -31,7 +31,6 @@ from ..functions import minhash as M
 from ..functions import text as X
 from ..operators import lsh, verify
 from ..operators.components import assign_components, connected_components
-from ..operators.exact_dedup import exact_dedup_with_edges
 from ..operators.survivors import cluster_summary, select_survivors
 from ..sources.warehouse import WarehouseIO
 
@@ -262,54 +261,47 @@ class DedupPipeline:
                 add_signature_columns(enriched).select(*sig_cols, *keys)
             )
             from ..operators.exact_dedup import (
-                digest_rank_edges, resolve_dedup_strategy,
+                digest_rank_edges, kept_from_edges,
             )
 
             exact_edges = stage(
                 digest_rank_edges(sigs_all.select("clip_id", *keys), keys),
                 "exact_edges",
             )
-            # same driver-safety gate as the dedup_first path: the
-            # checkpointed edge table makes the 'auto' count a cheap
+            # driver-safety gate shared with the dedup_first path: the
+            # committed edge table makes the 'auto' count a cheap
             # narrow scan, and above the cap the anti-join runs without
             # a broadcast hint instead of force-broadcasting an
             # arbitrarily large dropped-id set
-            dropped = exact_edges.select(F.col("id_b").alias("clip_id"))
-            strat = resolve_dedup_strategy(
-                cfg.exact_dedup_strategy, dropped,
-                cfg.exact_dedup_max_broadcast_ids,
-            )
-            if strat == "semi_broadcast":
-                keep = sigs_all.select("clip_id").join(
-                    dropped, "clip_id", "left_anti"
-                )
-                sigs = sigs_all.join(F.broadcast(keep), "clip_id", "left_semi")
-            elif strat == "shuffle":
-                sigs = sigs_all.join(dropped, "clip_id", "left_anti")
-            else:
-                sigs = sigs_all.join(F.broadcast(dropped), "clip_id", "left_anti")
-            sigs = sigs.drop(*keys)
+            sigs = kept_from_edges(
+                sigs_all, exact_edges, "clip_id",
+                cfg.exact_dedup_strategy, cfg.exact_dedup_max_broadcast_ids,
+            ).drop(*keys)
         else:
             # ---- exact dedup on content digests (reference ordering) -----
-            # resume gate: with the edge table already committed, hand it
-            # to the operator so neither the 'auto' count nor the ranking
-            # re-runs the payload digest scan a resumed run exists to skip
-            pre_edges = (
-                self.wh.load_clean("exact_edges")
-                if resume and self.wh.exists("exact_edges")
-                else None
+            # The edge list is staged STRAIGHT to the warehouse — one
+            # digest scan total, timed as the exact_edges stage — and
+            # keepers derive from the committed table (kept_from_edges,
+            # same strategy gate as the fused path). On resume the stage
+            # loads the committed table, so the digest scan never re-runs.
+            from ..operators.exact_dedup import (
+                digest_rank_edges, exact_dedup_digest_keys, kept_from_edges,
             )
-            exact, exact_edges = exact_dedup_with_edges(
-                normalized, text_col="transcript_norm",
-                payload_col="bytes" if with_audio else None, order_col="clip_id",
-                strategy=cfg.exact_dedup_strategy,
-                max_broadcast_ids=cfg.exact_dedup_max_broadcast_ids,
-                precomputed_edges=pre_edges,
+
+            key_names, digests = exact_dedup_digest_keys(
+                "transcript_norm", "bytes" if with_audio else None
+            )
+            exact_edges = stage(
+                digest_rank_edges(
+                    normalized.select("clip_id", *digests), key_names
+                ),
+                "exact_edges",
+            )
+            exact = kept_from_edges(
+                normalized, exact_edges, "clip_id",
+                cfg.exact_dedup_strategy, cfg.exact_dedup_max_broadcast_ids,
             )
             exact = maybe_stage(exact, "exact_dedup")
-            # always materialize the (tiny) exact-dup edge list: left lazy
-            # it would re-run the payload digest scan inside the CC stage
-            exact_edges = stage(exact_edges, "exact_edges")
 
             # ---- signatures (payload dropped after this stage) -----------
             # spread the Arrow-UDF work across every core — but only
