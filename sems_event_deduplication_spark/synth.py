@@ -244,13 +244,23 @@ def make_corpus_dist(
     on (seed, group id), never on partitioning."""
     n_parts = partitions or spark.sparkContext.defaultParallelism * 2
 
+    cols = [f.name for f in AUDIO_CLIPS_SCHEMA.fields]
+
     def gen(batches):
+        # yield in bounded chunks: one Arrow batch per input batch held
+        # ~1 GB of payload per task at large n_base, and 32 concurrent
+        # tasks blew the JVM's direct-memory cap — each yielded frame
+        # becomes its own Arrow batch, so memory stays O(chunk)
+        chunk = 200
+        buf: list[dict] = []
         for pdf in batches:
-            rows: list[dict] = []
             for gid in pdf["id"].tolist():
-                rows.extend(_group_rows(int(gid), seed, dur_lo, dur_hi))
-            out = pd.DataFrame(rows, columns=[f.name for f in AUDIO_CLIPS_SCHEMA.fields])
-            yield out
+                buf.extend(_group_rows(int(gid), seed, dur_lo, dur_hi))
+                if len(buf) >= chunk:
+                    yield pd.DataFrame(buf, columns=cols)
+                    buf = []
+        if buf:
+            yield pd.DataFrame(buf, columns=cols)
 
     return (
         spark.range(0, n_base, 1, n_parts)
