@@ -913,8 +913,11 @@ def q_ann_topk_indexed(spark, sf_dir):
         for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
     planes = np.eye(32)
+    # pid-scoped path: two concurrent contract runs over same-named
+    # scale dirs must not clobber each other's index mid-probe
     path = os.path.join(
-        tempfile.gettempdir(), "sems_ann_index_contract", os.path.basename(sf_dir)
+        tempfile.gettempdir(), f"sems_ann_index_contract_{os.getpid()}",
+        os.path.basename(sf_dir),
     )
     write_ann_index(
         e.filter(F.col("vec_id") != 0), path, planes, p_bits=8
@@ -1076,8 +1079,10 @@ def q_ivf_topk(spark, sf_dir):
         for x in e.filter(F.col("vec_id") == 1).select("embedding").first()[0]
     ]
     cents = build_ivf_centroids(e, n_cells=8, seed=7, sample_n=256, iters=5)
+    # pid-scoped for the same concurrent-run reason as the ANN index
     path = os.path.join(
-        tempfile.gettempdir(), "sems_ivf_index_contract", os.path.basename(sf_dir)
+        tempfile.gettempdir(), f"sems_ivf_index_contract_{os.getpid()}",
+        os.path.basename(sf_dir),
     )
     write_ivf_index(e.filter(F.col("vec_id") != 1), path, cents)
     return ivf_topk(spark, path, qvec, cents, k=10, nprobe=len(cents))

@@ -60,7 +60,17 @@ def digest_rank_edges(
     """The keep-last ranking core: (id, order, digest keys) ->
     (id_a = keeper, id_b = dropped) edge list. Shared by
     ``exact_dedup_with_edges`` and the pipeline's fused scan path so
-    keep-last semantics and edge orientation cannot drift apart."""
+    keep-last semantics and edge orientation cannot drift apart.
+
+    Skew bound: the window partitions by the digest keys, so a
+    boilerplate mega-dup family (one digest shared by m rows) sorts its
+    whole group in ONE task — O(m log m) narrow rows (id + order + two
+    64-hex digests, no payload). That is ~10 GB of window state at
+    m = 10^8 identical rows; corpora beyond that should pre-aggregate
+    ``max(order) per key`` and join back instead of ranking (the LSH
+    tier's star-edge cap is the analogous guard). Not the default
+    because the agg+join form costs an extra shuffle on every corpus to
+    protect against a shape exact dedup rarely sees."""
     w = Window.partitionBy(*key_names).orderBy(F.col(order_col).desc())
     ranked = narrow.withColumn("__rn", F.row_number().over(w)).withColumn(
         "__keeper", F.first(F.col(id_col)).over(w)

@@ -329,100 +329,108 @@ class DedupPipeline:
         sized_text = lsh.size_buckets(
             lsh.explode_bands(sigs, "clip_id", "bands")
         ).persist()
-        cand_text = lsh.candidate_pairs(sized_text, cfg.max_bucket_size)
-        cand_text = stage(cand_text, "candidates_text")
-
-        if with_audio:
-            sized_audio = lsh.size_buckets(
-                lsh.explode_bands(sigs, "clip_id", "audio_bands")
-            ).persist()
-            cand_audio = lsh.candidate_pairs(sized_audio, cfg.max_bucket_size)
-            cand_audio = stage(cand_audio, "candidates_audio")
-        else:
-            sized_audio = None
-            cand_audio = None
-
-        # stats AFTER the candidate stages so the caches are already
-        # populated: one unioned action over cached partitions
-        stats_df = lsh.bucket_stats(sized_text, cfg.max_bucket_size).withColumn(
-            "kind", F.lit("text")
-        )
-        if sized_audio is not None:
-            stats_df = stats_df.unionByName(
-                lsh.bucket_stats(sized_audio, cfg.max_bucket_size).withColumn(
-                    "kind", F.lit("audio")
-                )
-            )
-        for row in stats_df.collect():
-            d = row.asDict()
-            kind = d.pop("kind")
-            lsh_stats[kind] = {k: int(v or 0) for k, v in d.items()}
-
-        # ---- verify --------------------------------------------------------
-        # No pre-salting shuffle here: the verify equi-join hashes by
-        # id_a/id_b regardless, so a salt repartition is a wasted pass
-        # over the candidate table. Hot verify keys (one doc in many
-        # pairs) are handled by AQE skew-join splitting; lsh.salted()
-        # remains available for clusters running with AQE off.
-        # exact Jaccard runs on the int64 shingle-hash arrays, not the
-        # 9-char string shingles: same value (xxhash64 collisions in
-        # ~10^2-element sets are ~2^-50) at a fraction of the join
-        # payload and intersect cost
-        pairs_text = verify.verify_jaccard(
-            cand_text, sigs, cfg.num_perm, cfg.jaccard_threshold, cfg.est_margin,
-            shingles_col="shingle_hashes",
-        ).withColumn("kind", F.lit("text"))
-
-        contain = verify.containment_pairs(
-            sized_text, sigs, cfg.max_bucket_size, n_bands=cfg.containment_bands
-        ).select("id_a", "id_b", F.lit(1.0).alias("jaccard")).withColumn(
-            "kind", F.lit("containment")
-        )
-        verified = pairs_text.unionByName(contain)
-
-        if with_audio:
-            pairs_audio = verify.verify_hamming(
-                cand_audio, sigs, cfg.hamming_threshold
-            ).select(
-                "id_a", "id_b", F.lit(None).cast("double").alias("jaccard"),
-                F.lit("audio").alias("kind"),
-            )
-            verified = verified.unionByName(pairs_audio)
-
+        sized_audio = None
         sized_lm = None
-        if offset_tier:
-            from ..operators.audio_segments import (
-                audio_offset_pairs_from_sigs, landmark_inverted_index,
-            )
+        # everything from candidates through verified runs under one
+        # try/finally: an exception anywhere in between must not leak
+        # the persisted band-bucket frames into executor storage for the
+        # rest of the application
+        try:
+            cand_text = lsh.candidate_pairs(sized_text, cfg.max_bucket_size)
+            cand_text = stage(cand_text, "candidates_text")
 
-            # size the landmark inverted index once and share it between
-            # candidate generation and the stop-landmark cap stats
-            sized_lm = lsh.size_buckets(landmark_inverted_index(sigs)).persist()
-            offset_pairs = audio_offset_pairs_from_sigs(
-                sigs, cfg, cfg.landmark_containment, cfg.landmark_min_shared,
-                sized_inverted=sized_lm,
-            ).select(
-                "id_a", "id_b", F.lit(None).cast("double").alias("jaccard"),
-                F.lit("audio_offset").alias("kind"),
-            )
-            verified = verified.unionByName(offset_pairs)
+            if with_audio:
+                sized_audio = lsh.size_buckets(
+                    lsh.explode_bands(sigs, "clip_id", "audio_bands")
+                ).persist()
+                cand_audio = lsh.candidate_pairs(sized_audio, cfg.max_bucket_size)
+                cand_audio = stage(cand_audio, "candidates_audio")
+            else:
+                cand_audio = None
 
-        verified = verified.groupBy("id_a", "id_b").agg(
-            F.max("jaccard").alias("jaccard"),
-            F.sort_array(F.collect_set("kind")).alias("kinds"),
-        )
-        verified = stage(verified, "verified_pairs")
-        if sized_lm is not None:
-            # cache is populated by the verified materialization — the
-            # stop-landmark stats are now a cheap cached aggregate
-            row = lsh.bucket_stats(sized_lm, cfg.max_bucket_size).first()
-            lsh_stats["landmarks"] = {
-                k: int(v or 0) for k, v in row.asDict().items()
-            }
-            sized_lm.unpersist()
-        sized_text.unpersist()
-        if sized_audio is not None:
-            sized_audio.unpersist()
+            # ---- verify ----------------------------------------------------
+            # No pre-salting shuffle here: the verify equi-join hashes by
+            # id_a/id_b regardless, so a salt repartition is a wasted pass
+            # over the candidate table. Hot verify keys (one doc in many
+            # pairs) are handled by AQE skew-join splitting; lsh.salted()
+            # remains available for clusters running with AQE off.
+            # exact Jaccard runs on the int64 shingle-hash arrays, not the
+            # 9-char string shingles: same value (xxhash64 collisions in
+            # ~10^2-element sets are ~2^-50) at a fraction of the join
+            # payload and intersect cost
+            pairs_text = verify.verify_jaccard(
+                cand_text, sigs, cfg.num_perm, cfg.jaccard_threshold, cfg.est_margin,
+                shingles_col="shingle_hashes",
+            ).withColumn("kind", F.lit("text"))
+
+            contain = verify.containment_pairs(
+                sized_text, sigs, cfg.max_bucket_size, n_bands=cfg.containment_bands
+            ).select("id_a", "id_b", F.lit(1.0).alias("jaccard")).withColumn(
+                "kind", F.lit("containment")
+            )
+            verified = pairs_text.unionByName(contain)
+
+            if with_audio:
+                pairs_audio = verify.verify_hamming(
+                    cand_audio, sigs, cfg.hamming_threshold
+                ).select(
+                    "id_a", "id_b", F.lit(None).cast("double").alias("jaccard"),
+                    F.lit("audio").alias("kind"),
+                )
+                verified = verified.unionByName(pairs_audio)
+
+            if offset_tier:
+                from ..operators.audio_segments import (
+                    audio_offset_pairs_from_sigs, landmark_inverted_index,
+                )
+
+                # size the landmark inverted index once and share it between
+                # candidate generation and the stop-landmark cap stats
+                sized_lm = lsh.size_buckets(landmark_inverted_index(sigs)).persist()
+                offset_pairs = audio_offset_pairs_from_sigs(
+                    sigs, cfg, cfg.landmark_containment, cfg.landmark_min_shared,
+                    sized_inverted=sized_lm,
+                ).select(
+                    "id_a", "id_b", F.lit(None).cast("double").alias("jaccard"),
+                    F.lit("audio_offset").alias("kind"),
+                )
+                verified = verified.unionByName(offset_pairs)
+
+            verified = verified.groupBy("id_a", "id_b").agg(
+                F.max("jaccard").alias("jaccard"),
+                F.sort_array(F.collect_set("kind")).alias("kinds"),
+            )
+            verified = stage(verified, "verified_pairs")
+
+            # stats AFTER the verified materialization so every cache is
+            # already populated: ONE unioned collect over cached
+            # partitions covers text + audio + landmark bucket metrics
+            # (previously two driver actions)
+            stats_df = lsh.bucket_stats(sized_text, cfg.max_bucket_size).withColumn(
+                "kind", F.lit("text")
+            )
+            if sized_audio is not None:
+                stats_df = stats_df.unionByName(
+                    lsh.bucket_stats(sized_audio, cfg.max_bucket_size).withColumn(
+                        "kind", F.lit("audio")
+                    )
+                )
+            if sized_lm is not None:
+                stats_df = stats_df.unionByName(
+                    lsh.bucket_stats(sized_lm, cfg.max_bucket_size).withColumn(
+                        "kind", F.lit("landmarks")
+                    )
+                )
+            for row in stats_df.collect():
+                d = row.asDict()
+                kind = d.pop("kind")
+                lsh_stats[kind] = {k: int(v or 0) for k, v in d.items()}
+        finally:
+            sized_text.unpersist()
+            if sized_audio is not None:
+                sized_audio.unpersist()
+            if sized_lm is not None:
+                sized_lm.unpersist()
 
         # ---- connected components -----------------------------------------
         all_edges = verified.select("id_a", "id_b").unionByName(
