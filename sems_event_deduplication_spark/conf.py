@@ -110,6 +110,18 @@ class DedupConfig:
     # --- clustering ------------------------------------------------
     min_cluster_size: int = 2     # reference community_detection min size (cluster_news.py:22)
     cc_max_iterations: int = 25   # large-star/small-star fixpoint cap
+    cc_local_edges: int = 2_000_000
+                                  # <= this many distinct dedup edges:
+                                  # resolve components with driver
+                                  # union-find (2 jobs) instead of the
+                                  # alternating-star loop (~5 jobs) —
+                                  # same output, bit for bit. ~2*10^2 MB
+                                  # of driver heap worst-case at 40-char
+                                  # ids; the distributed loop engages
+                                  # automatically above the cap (and is
+                                  # the only path at 10^12-row scale
+                                  # where the edge list can approach
+                                  # corpus size). 0 disables.
 
     # --- temporal semantics (reference create_silver_label.py:78,236,380) ---
     temporal_eps_days: int = 1        # 1-D DBSCAN eps

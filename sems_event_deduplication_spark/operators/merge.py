@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .components import connected_components
+from .strategies import DEFAULT_BROADCAST_CAP_ROWS, gated_broadcast
 from .temporal import interval_merge_edges
 
 
@@ -42,15 +43,20 @@ def entity_overlap_edges(
     entity_counts: DataFrame,
     cluster_col: str = "component",
     min_overlap: float = 0.5,
+    broadcast_cap_rows: int = DEFAULT_BROADCAST_CAP_ROWS,
 ) -> DataFrame:
     """Cluster pairs with |A∩B| / max(|A|,|B|) >= min_overlap.
 
     Shape: explode-join on entity (equi-join, shuffles on entity) +
-    per-cluster set sizes broadcast back — never materializes n².
+    per-cluster set sizes joined back — never materializes n². The
+    size table is one row per cluster, so its broadcast is count-gated
+    (``strategies.gated_broadcast``); over the cap both size joins run
+    as plain equi-joins under AQE.
     """
     sizes = entity_counts.groupBy(cluster_col).agg(
         F.count(F.lit(1)).alias("n_entities")
     )
+    sizes = gated_broadcast(sizes, broadcast_cap_rows)
     a = entity_counts.select(F.col(cluster_col).alias("ca"), "entity")
     b = entity_counts.select(F.col(cluster_col).alias("cb"), "entity")
     inter = (
@@ -62,8 +68,8 @@ def entity_overlap_edges(
     sa = sizes.select(F.col(cluster_col).alias("ca"), F.col("n_entities").alias("na"))
     sb = sizes.select(F.col(cluster_col).alias("cb"), F.col("n_entities").alias("nb"))
     return (
-        inter.join(F.broadcast(sa), "ca")
-        .join(F.broadcast(sb), "cb")
+        inter.join(sa, "ca")
+        .join(sb, "cb")
         .withColumn("overlap", F.col("n_inter") / F.greatest("na", "nb"))
         .filter(F.col("overlap") >= min_overlap)
         .select("ca", "cb", "overlap")
@@ -97,7 +103,10 @@ def merge_clusters(
         F.col("clip_id").alias(cluster_col),
         F.col("component").alias("merged_component"),
     )
-    return clustered.join(F.broadcast(comp), cluster_col, "left").withColumn(
+    # one row per merged cluster -> count-gated remap broadcast (the
+    # reference's Series.replace is a driver-side map; here the map is
+    # broadcast only when it provably fits)
+    return clustered.join(gated_broadcast(comp), cluster_col, "left").withColumn(
         "merged_component",
         F.coalesce(F.col("merged_component"), F.col(cluster_col)),
     )

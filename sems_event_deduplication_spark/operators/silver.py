@@ -18,16 +18,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .strategies import DEFAULT_BROADCAST_CAP_ROWS, gated_broadcast
+
 
 def silver_labels(
     df: DataFrame,
     cluster_col: str = "merged_component",
     type_col: str = "pred_event_type",
     oos_label: str = "oos",
+    broadcast_cap_rows: int = DEFAULT_BROADCAST_CAP_ROWS,
 ) -> DataFrame:
     """Majority type per cluster (mode, ties -> lexicographic min);
     clusters whose only label is ``oos`` keep it (reference drops them
-    at ``create_silver_label.py:273-278`` — callers filter)."""
+    at ``create_silver_label.py:273-278`` — callers filter).
+
+    The mode table has one row per cluster — in a dedup corpus that is
+    ~the row count, so the broadcast is count-gated
+    (``strategies.gated_broadcast``), not assumed."""
     cnt = df.groupBy(cluster_col, type_col).agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy(cluster_col).orderBy(F.col("n").desc(), type_col)
     mode = (
@@ -35,7 +42,7 @@ def silver_labels(
         .filter(F.col("rn") == 1)
         .select(cluster_col, F.col(type_col).alias("silver_label"))
     )
-    return df.join(F.broadcast(mode), cluster_col, "left")
+    return df.join(gated_broadcast(mode, broadcast_cap_rows), cluster_col, "left")
 
 
 def drop_all_oos_clusters(
@@ -110,7 +117,15 @@ def stratified_cluster_split(
     rand's output depends on partition layout, so a different partition
     count or a task retry would silently reassign train/val/test
     membership. The hash is a pure function of the row — identical
-    splits under any repartitioning."""
+    splits under any repartitioning.
+
+    Scale bound: the rank window partitions by only 3 size buckets, so
+    each bucket's cluster list sorts in one task — exact stratified
+    fractions require a total order per stratum. Past ~10^8 clusters
+    per bucket, switch to pure hash-threshold assignment (split by a
+    range of ``xxhash64(cluster)`` — see the ``deterministic_split``
+    contract query), which is fraction-approximate but embarrassingly
+    parallel."""
     sizes = members.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("n"))
     bucketed = sizes.withColumn(
         "bucket",
@@ -134,34 +149,67 @@ def stratified_cluster_split(
         .otherwise("test")
         .alias("split"),
     )
-    return members.join(F.broadcast(assigned), cluster_col)
+    # one row per cluster -> count-gated, not blindly broadcast
+    return members.join(gated_broadcast(assigned), cluster_col)
 
 
 def balanced_random_pairs(
     members: DataFrame,
     id_col: str = "clip_id",
     seed: int = 4,
+    n_groups: int = 64,
 ) -> DataFrame:
-    """Random disjoint pairing (``models/Datasets.py:72-73``): shuffle
-    by a seeded hash of the id, pair row 2i with 2i+1 via a pair-index
-    window. ``xxhash64(id, seed)`` rather than ``rand(seed)`` so the
-    pairing is a pure function of the data — identical under any
-    partition count or task retry."""
-    w = Window.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), id_col)
-    return _pair_by_window(members, id_col, w)
+    """Random disjoint pairing (``models/Datasets.py:72-73``),
+    partitioned: salt every id into ``n_groups`` hash groups, pair row
+    2i with 2i+1 *within each group* (a per-group window — ``n_groups``
+    concurrent sort tasks, never one global single-partition sort),
+    then pair the <= ``n_groups`` leftover rows from odd-sized groups
+    in a second, trivially small global pass.
+
+    ``xxhash64(id, seed)`` rather than ``rand(seed)`` everywhere, so
+    the pairing is a pure function of the data — identical under any
+    partition count or task retry. The salt hash and the in-group
+    order hash use distinct mix-ins so group membership and order are
+    independent draws.
+    """
+    salt = F.pmod(
+        F.xxhash64(F.col(id_col), F.lit(seed), F.lit("salt")), F.lit(n_groups)
+    )
+    idx = members.select(id_col).withColumn("__g", salt)
+    w = Window.partitionBy("__g").orderBy(
+        F.xxhash64(F.col(id_col), F.lit(seed)), id_col
+    )
+    idx = idx.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("__g"))
+    )
+    paired = _pair_rows(idx, id_col, ["__g"])
+
+    # odd-sized groups strand their max-rn row; <= n_groups rows total,
+    # so a global window over the leftovers is a one-task job over a
+    # provably tiny frame
+    leftover = idx.filter((F.col("n") % 2 == 1) & (F.col("rn") == F.col("n")))
+    w2 = Window.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), id_col)
+    left2 = leftover.select(id_col).withColumn("rn", F.row_number().over(w2)).withColumn(
+        "__g", F.lit(-1)
+    )
+    return paired.unionByName(_pair_rows(left2, id_col, ["__g"]))
 
 
-def _pair_by_window(members: DataFrame, id_col: str, w) -> DataFrame:
-    idx = members.select(id_col).withColumn("rn", F.row_number().over(w))
+def _pair_rows(idx: DataFrame, id_col: str, group_cols: list[str]) -> DataFrame:
+    """(group, rn, id) -> (id_a, id_b): row 2i-1 pairs with row 2i
+    within its group."""
+    pair_key = [*group_cols, "pair_id"]
     left = idx.filter(F.col("rn") % 2 == 1).select(
+        *group_cols,
         ((F.col("rn") + 1) / 2).cast("long").alias("pair_id"),
         F.col(id_col).alias("id_a"),
     )
     right = idx.filter(F.col("rn") % 2 == 0).select(
+        *group_cols,
         (F.col("rn") / 2).cast("long").alias("pair_id"),
         F.col(id_col).alias("id_b"),
     )
-    return left.join(right, "pair_id").select("id_a", "id_b")
+    return left.join(right, pair_key).select("id_a", "id_b")
 
 
 def label_quota_pairs(

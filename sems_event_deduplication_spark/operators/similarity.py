@@ -50,11 +50,63 @@ def cosine_topk(
     )
 
 
+def make_sign_bits_udf(planes: np.ndarray):
+    """Random-hyperplane sign signature as a vectorized pandas UDF.
+
+    One numpy matmul per Arrow batch — the signature-computation path
+    for realistic dims. The literal-expression form (``sign_bits_expr``)
+    builds ``n_bits x dim`` Catalyst nodes (~49k at 768-dim x 64 bits),
+    blowing up plan compile and codegen; this UDF is O(1) plan nodes at
+    any dim and runs the arithmetic as one BLAS call per batch.
+
+    Semantics match ``sign_bits_expr`` exactly: only the first ``dim``
+    entries of each vector are read; a stored vector SHORTER than the
+    plane dim yields sig = 0 (the expression form's null-propagation
+    behavior); bit b is set iff the projection is strictly positive.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    n_bits, dim = planes.shape
+    if n_bits > 64:
+        raise ValueError("sign signature is one int64 word: n_bits <= 64")
+    proj_m = planes.T.astype(np.float64).copy()          # (dim, n_bits)
+    # bit 63 is the int64 sign bit: build weights unsigned, emit the
+    # two's-complement reinterpretation (Hamming XOR/bit_count are
+    # bitwise — sign is irrelevant downstream)
+    weights = np.left_shift(
+        np.uint64(1), np.arange(n_bits, dtype=np.uint64)
+    )
+
+    @pandas_udf("long")
+    def sign_bits(v):
+        import pandas as pd
+
+        out = np.zeros(len(v), dtype=np.int64)
+        if len(v) == 0:
+            return pd.Series(out)
+        ok = np.fromiter(
+            (x is not None and len(x) >= dim for x in v), dtype=bool, count=len(v)
+        )
+        if ok.any():
+            X = np.asarray(
+                [np.asarray(v.iloc[i][:dim], dtype=np.float64) for i in np.nonzero(ok)[0]]
+            )
+            sig_u64 = ((X @ proj_m) > 0).astype(np.uint64) @ weights
+            out[ok] = np.ascontiguousarray(sig_u64).view(np.int64)
+        return pd.Series(out)
+
+    return sign_bits
+
+
 def sign_bits_expr(vec_col: Column, planes: np.ndarray) -> Column:
     """Random-hyperplane sign signature as a native expression.
 
     ``planes``: (n_bits, dim) fixed-seed matrix. Each bit is the sign of
     a plan-time-literal linear form — all JVM arithmetic.
+
+    Plan-size bound: this unrolls ``n_bits x dim`` expression terms, so
+    it is only for SMALL matrices (<= ~1k terms: toy dims, probe-side
+    constants). Index writes and scans use ``make_sign_bits_udf``.
     """
     n_bits, dim = planes.shape
     bits = None
@@ -64,9 +116,15 @@ def sign_bits_expr(vec_col: Column, planes: np.ndarray) -> Column:
             w = float(planes[b, i])
             if w == 0.0:
                 continue
-            term = F.element_at(vec_col, i + 1).cast("double") * F.lit(w)
+            # try_element_at: a vector shorter than the plane dim must
+            # null the projection (-> bit 0), not RAISE — plain
+            # element_at out-of-bounds is an error under Spark 4 ANSI
+            term = F.try_element_at(vec_col, F.lit(i + 1)).cast("double") * F.lit(w)
             proj = term if proj is None else (proj + term)
-        bit = F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        # b == 63 is the int64 sign bit: its weight is the (negative)
+        # two's-complement value, so the sum stays inside long range
+        w_b = (1 << b) if b < 63 else -(1 << 63)
+        bit = F.when(proj > 0, F.lit(w_b)).otherwise(F.lit(0))
         bits = bit if bits is None else (bits + bit)
     return bits.cast("long")
 
@@ -88,6 +146,11 @@ def _query_sig(query_vec: list[float], planes: np.ndarray) -> int:
     for b in range(planes.shape[0]):
         if proj[b] > 0:
             sig |= 1 << b
+    # two's-complement wrap so the driver-side literal matches the
+    # stored int64 signature when bit 63 is set (Python int bitwise ops
+    # sign-extend, so XOR/AND against it stay correct)
+    if sig >= 1 << 63:
+        sig -= 1 << 64
     return sig
 
 
@@ -105,7 +168,7 @@ def write_ann_index(
     enumeration becomes parquet partition pruning — the scan never
     opens non-candidate directories. This is the write path that turns
     ``ann_topk_lsh``'s full-scan filter into pruned I/O at 100 TB."""
-    sig = sign_bits_expr(F.col(vec_col), planes)
+    sig = make_sign_bits_udf(planes)(F.col(vec_col))
     (
         df.withColumn("sig", sig)
         .withColumn("bucket", F.col("sig").bitwiseAND(F.lit((1 << p_bits) - 1)))
@@ -175,7 +238,7 @@ def ann_topk_lsh(
     scale it becomes a partition/cluster key and the probe prunes I/O.
     """
     q_sig = _query_sig(query_vec, planes)
-    sig = sign_bits_expr(F.col(vec_col), planes)
+    sig = make_sign_bits_udf(planes)(F.col(vec_col))
     pruned = df.withColumn("__sig", sig).filter(
         F.bit_count(F.col("__sig").bitwiseXOR(F.lit(q_sig))) <= hamming_radius
     )

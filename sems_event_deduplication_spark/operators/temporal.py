@@ -109,34 +109,125 @@ def interval_merge_edges(
     cluster_col: str = "component",
     date_col: str = "event_date",
     max_gap_days: int = 10,
+    strategy: str = "banded",
+    band_days: int | None = None,
+    max_span_bands: int = 64,
 ) -> DataFrame:
     """Cluster pairs whose date intervals are within ``max_gap_days``.
 
-    Pre-aggregates to (cluster, min_d, max_d) — tiny vs the row table —
-    then a non-equi self-join with the closed-form overlap test
+    Pre-aggregates to (cluster, min_d, max_d) — one row per cluster —
+    then finds every pair satisfying the closed-form overlap test
     equivalent to the reference's within/overlaps/distance branches
     (``create_silver_label.py:368-377``):
 
         a.min <= b.max + gap AND b.min <= a.max + gap
 
-    The small aggregate side is broadcast to avoid a shuffle.
+    ``strategy``:
+
+    - ``"banded"`` (default, the J2 scale form SURVEY.md §2.4
+      prescribes): each span — right-extended by ``gap`` so the test
+      reduces to plain interval overlap — is exploded to the
+      ``band_days``-wide date buckets it covers; candidate pairs come
+      from an **equi-join on the bucket id** (SortMergeJoin/shuffled
+      hash — never a nested loop), then the exact overlap test and a
+      pair-dedup run. Two spans within ``gap`` always share >= 1
+      bucket, so recall is exactly 1. Cost is O(Σ buckets-per-span)
+      join input instead of O(C²) comparisons; in a dedup corpus most
+      clusters are singletons, so C ~ row count and the quadratic form
+      is unusable at engine scale.
+      Pathological spans covering more than ``max_span_bands`` buckets
+      (years-long clusters) would explode the band index; they are
+      split off (a tiny side at any realistic skew) and resolved
+      against the full span table with a broadcast non-equi join
+      instead — correctness is preserved for every pair shape:
+      narrow x narrow via buckets, wide x anything via the wide pass.
+    - ``"broadcast"``: the O(C²) broadcast nested-loop form — cheapest
+      when the cluster count is known-tiny (the reference's dozens of
+      clusters; ``create_silver_label.py:359-382``), a driver bomb and
+      a quadratic CPU sink beyond ~10^5 clusters.
+
+    ``band_days`` defaults to ``max(7, max_gap_days + 1)``: wide enough
+    that typical event spans cover O(1) buckets, narrow enough that a
+    bucket only collides spans within ~2 weeks of each other.
     """
     spans = clustered.groupBy(cluster_col).agg(
         F.min(date_col).alias("min_d"), F.max(date_col).alias("max_d")
     )
-    a = spans.select(
-        F.col(cluster_col).alias("ca"),
-        F.col("min_d").alias("min_a"),
-        F.col("max_d").alias("max_a"),
+    if strategy == "broadcast":
+        a = spans.select(
+            F.col(cluster_col).alias("ca"),
+            F.col("min_d").alias("min_a"),
+            F.col("max_d").alias("max_a"),
+        )
+        b = spans.select(
+            F.col(cluster_col).alias("cb"),
+            F.col("min_d").alias("min_b"),
+            F.col("max_d").alias("max_b"),
+        )
+        cond = (
+            (F.col("ca") < F.col("cb"))
+            & (F.col("min_a") <= F.date_add(F.col("max_b"), max_gap_days))
+            & (F.col("min_b") <= F.date_add(F.col("max_a"), max_gap_days))
+        )
+        return a.join(F.broadcast(b), cond).select("ca", "cb")
+    if strategy != "banded":
+        raise ValueError(f"unknown interval_merge_edges strategy: {strategy!r}")
+
+    width = band_days or max(7, max_gap_days + 1)
+    # integer day axis; hi is right-extended by gap so "within gap"
+    # becomes plain overlap: a.lo <= b.hi AND b.lo <= a.hi
+    day0 = F.to_date(F.lit("1970-01-01"))
+    ext = spans.select(
+        F.col(cluster_col).alias("c"),
+        F.datediff("min_d", day0).alias("lo"),
+        (F.datediff("max_d", day0) + max_gap_days).alias("hi"),
+    ).withColumn("b_lo", F.floor(F.col("lo") / width)).withColumn(
+        "b_hi", F.floor(F.col("hi") / width)
     )
-    b = spans.select(
-        F.col(cluster_col).alias("cb"),
-        F.col("min_d").alias("min_b"),
-        F.col("max_d").alias("max_b"),
+    narrow = ext.filter(F.col("b_hi") - F.col("b_lo") < max_span_bands)
+    wide = ext.filter(F.col("b_hi") - F.col("b_lo") >= max_span_bands)
+
+    banded = narrow.select(
+        "c", "lo", "hi", F.explode(F.sequence("b_lo", "b_hi")).alias("bucket")
     )
-    cond = (
-        (F.col("ca") < F.col("cb"))
-        & (F.col("min_a") <= F.date_add(F.col("max_b"), max_gap_days))
-        & (F.col("min_b") <= F.date_add(F.col("max_a"), max_gap_days))
+    a = banded.select(
+        F.col("c").alias("ca"), F.col("lo").alias("lo_a"),
+        F.col("hi").alias("hi_a"), "bucket",
     )
-    return a.join(F.broadcast(b), cond).select("ca", "cb")
+    b = banded.select(
+        F.col("c").alias("cb"), F.col("lo").alias("lo_b"),
+        F.col("hi").alias("hi_b"), "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("ca") < F.col("cb"))
+            & (F.col("lo_a") <= F.col("hi_b"))
+            & (F.col("lo_b") <= F.col("hi_a"))
+        )
+        .select("ca", "cb")
+        .distinct()  # a pair can share several buckets
+    )
+
+    # wide spans (rare by construction) still must pair with EVERYTHING
+    # they overlap, including each other: broadcast the tiny wide side
+    # into a non-equi join against the full span table
+    w = wide.select(
+        F.col("c").alias("cw"), F.col("lo").alias("lo_w"), F.col("hi").alias("hi_w")
+    )
+    s = ext.select(
+        F.col("c").alias("cs"), F.col("lo").alias("lo_s"), F.col("hi").alias("hi_s")
+    )
+    wide_pairs = (
+        s.join(
+            F.broadcast(w),
+            (F.col("cw") != F.col("cs"))
+            & (F.col("lo_w") <= F.col("hi_s"))
+            & (F.col("lo_s") <= F.col("hi_w")),
+        )
+        .select(
+            F.least("cw", "cs").alias("ca"), F.greatest("cw", "cs").alias("cb")
+        )
+        .distinct()
+    )
+    return pairs.unionByName(wide_pairs).distinct()

@@ -135,9 +135,14 @@ class DedupPipeline:
         """checkpoint_mode:
         - "all": every stage materializes to the warehouse (finest
           resume granularity; the test suite uses this).
-        - "min": only the north-rule stages (signatures / candidates /
-          verified_pairs / clusters) checkpoint; cheap projections and
-          windows stay lazy and fuse into the downstream stage.
+        - "min": only signatures / verified_pairs / components /
+          survivors / clusters checkpoint. Candidate pairs are NOT
+          materialized — they are a pure re-derivation of the committed
+          signature table (explode + window + self-join), so committing
+          them buys no resume granularity that verified_pairs doesn't
+          already provide, and at production latency the two extra
+          commits are pure floor. Cheap projections and windows stay
+          lazy and fuse into the downstream stage.
 
         payload_in_survivors: when False the survivors table carries
         clip metadata but not ``bytes`` — the 100 TB shape: payloads are
@@ -273,10 +278,14 @@ class DedupPipeline:
             # narrow scan, and above the cap the anti-join runs without
             # a broadcast hint instead of force-broadcasting an
             # arbitrarily large dropped-id set
+            t_kept = time.monotonic()
             sigs = kept_from_edges(
                 sigs_all, exact_edges, "clip_id",
                 cfg.exact_dedup_strategy, cfg.exact_dedup_max_broadcast_ids,
             ).drop(*keys)
+            metrics.append(
+                StageMetric("exact_auto_count", -1, time.monotonic() - t_kept)
+            )
         else:
             # ---- exact dedup on content digests (reference ordering) -----
             # The edge list is staged STRAIGHT to the warehouse — one
@@ -297,9 +306,13 @@ class DedupPipeline:
                 ),
                 "exact_edges",
             )
+            t_kept = time.monotonic()
             exact = kept_from_edges(
                 normalized, exact_edges, "clip_id",
                 cfg.exact_dedup_strategy, cfg.exact_dedup_max_broadcast_ids,
+            )
+            metrics.append(
+                StageMetric("exact_auto_count", -1, time.monotonic() - t_kept)
             )
             exact = maybe_stage(exact, "exact_dedup")
 
@@ -337,14 +350,14 @@ class DedupPipeline:
         # rest of the application
         try:
             cand_text = lsh.candidate_pairs(sized_text, cfg.max_bucket_size)
-            cand_text = stage(cand_text, "candidates_text")
+            cand_text = maybe_stage(cand_text, "candidates_text")
 
             if with_audio:
                 sized_audio = lsh.size_buckets(
                     lsh.explode_bands(sigs, "clip_id", "audio_bands")
                 ).persist()
                 cand_audio = lsh.candidate_pairs(sized_audio, cfg.max_bucket_size)
-                cand_audio = stage(cand_audio, "candidates_audio")
+                cand_audio = maybe_stage(cand_audio, "candidates_audio")
             else:
                 cand_audio = None
 
@@ -421,10 +434,14 @@ class DedupPipeline:
                         "kind", F.lit("landmarks")
                     )
                 )
+            t_stats = time.monotonic()
             for row in stats_df.collect():
                 d = row.asDict()
                 kind = d.pop("kind")
                 lsh_stats[kind] = {k: int(v or 0) for k, v in d.items()}
+            metrics.append(
+                StageMetric("lsh_stats_collect", -1, time.monotonic() - t_stats)
+            )
         finally:
             sized_text.unpersist()
             if sized_audio is not None:
@@ -436,7 +453,19 @@ class DedupPipeline:
         all_edges = verified.select("id_a", "id_b").unionByName(
             exact_edges.select("id_a", "id_b")
         )
-        comp = connected_components(all_edges, "id_a", "id_b", cfg.cc_max_iterations)
+        t_cc = time.monotonic()
+        cc_info: dict = {}
+        comp = connected_components(
+            all_edges, "id_a", "id_b", cfg.cc_max_iterations,
+            local_threshold=cfg.cc_local_edges, info=cc_info,
+        )
+        # the fixpoint's driver jobs (fingerprint collects / union-find
+        # collect) run inside the call above — surface them as their own
+        # metric so the fixed-latency floor is observable per run
+        metrics.append(
+            StageMetric("cc_fixpoint", cc_info.get("n_edges", -1), time.monotonic() - t_cc)
+        )
+        lsh_stats["cc"] = cc_info
         clustered = assign_components(
             normalized.select("clip_id", "transcript_norm"), comp
         )

@@ -52,6 +52,38 @@ def test_cc_long_path(spark):
     _check_graph(spark, edges)
 
 
+def test_cc_local_fast_path_parity(spark):
+    """local_threshold union-find must return bit-identical components
+    to the distributed alternating-star loop, including on non-string
+    id types and duplicate/reversed edges."""
+    rng = np.random.default_rng(7)
+    edges = [
+        (f"n{int(rng.integers(0, 50)):03d}", f"n{int(rng.integers(0, 50)):03d}")
+        for _ in range(120)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    edf = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    info_l, info_d = {}, {}
+    local = connected_components(
+        edf, "id_a", "id_b", local_threshold=10_000, info=info_l
+    ).collect()
+    dist = connected_components(edf, "id_a", "id_b", info=info_d).collect()
+    assert info_l["mode"] == "local" and info_d["mode"] == "distributed"
+    assert sorted(map(tuple, local)) == sorted(map(tuple, dist))
+
+    # integer ids through the fast path keep their type
+    iedges = spark.createDataFrame(
+        pd.DataFrame([(3, 1), (1, 2), (9, 8)], columns=["id_a", "id_b"])
+    )
+    got = {
+        r["clip_id"]: r["component"]
+        for r in connected_components(
+            iedges, "id_a", "id_b", local_threshold=100
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
+
+
 def test_assign_components_singletons(spark):
     nodes = spark.createDataFrame(pd.DataFrame({"clip_id": ["a", "b", "c"]}))
     edf = spark.createDataFrame(pd.DataFrame([("a", "b")], columns=["id_a", "id_b"]))

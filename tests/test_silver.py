@@ -110,6 +110,22 @@ def test_pairing_identical_under_repartition(spark):
         assert again == base
 
 
+def test_pairing_partitioned_not_global(spark):
+    """The main pairing window must partition by the salt group (never
+    one global single-partition sort); only the <= n_groups leftover
+    pass may be global. Coverage stays exact at 1000 rows."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": [f"q{i:04d}" for i in range(1000)]})
+    )
+    pairs = balanced_random_pairs(df, seed=4)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(__g" in plan
+    rows = pairs.collect()
+    assert len(rows) == 500
+    used = [r["id_a"] for r in rows] + [r["id_b"] for r in rows]
+    assert len(set(used)) == 1000
+
+
 def test_label_quota_pairs(spark):
     """Datasets.py:57-99 semantics: keep drawing pairing rounds until
     every requested label reaches its quota, then cap at quota."""

@@ -1,0 +1,47 @@
+"""Count-gated broadcast hint (operators/strategies.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from sems_event_deduplication_spark.operators.strategies import gated_broadcast
+
+
+def _frames(spark):
+    base = spark.createDataFrame(
+        pd.DataFrame({"k": [f"k{i}" for i in range(50)], "x": range(50)})
+    )
+    dim = spark.createDataFrame(
+        pd.DataFrame({"k": [f"k{i}" for i in range(0, 50, 2)], "y": range(25)})
+    )
+    return base, dim
+
+
+def _executed_plan(df) -> str:
+    df.collect()  # finalize AQE so the plan shows the real join
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_under_cap_broadcast_join(spark):
+    base, dim = _frames(spark)
+    joined = base.join(gated_broadcast(dim, cap_rows=100), "k")
+    assert "BroadcastHashJoin" in _executed_plan(joined)
+
+
+def test_over_cap_no_forced_broadcast(spark):
+    base, dim = _frames(spark)
+    # a tiny frame over a tiny cap: the gate must NOT hint; AQE may
+    # still choose broadcast from runtime sizes, so assert on the
+    # pre-AQE logical plan (no hint node) rather than the physical join
+    hinted = gated_broadcast(dim, cap_rows=2)
+    plan = base.join(hinted, "k")._jdf.queryExecution().analyzed().toString()
+    assert "Hint" not in plan
+
+
+def test_results_identical_both_branches(spark):
+    base, dim = _frames(spark)
+    joined_b = base.join(gated_broadcast(dim, cap_rows=100), "k")
+    joined_p = base.join(gated_broadcast(dim, cap_rows=0), "k")
+    assert sorted(map(tuple, joined_b.collect())) == sorted(
+        map(tuple, joined_p.collect())
+    )

@@ -115,3 +115,61 @@ def test_interval_merge_edges(spark):
     df = spark.createDataFrame(pd.DataFrame(rows))
     got = {(r["ca"], r["cb"]) for r in interval_merge_edges(df, max_gap_days=10).collect()}
     assert got == {("A", "B")}
+
+
+def test_interval_merge_banded_vs_broadcast_parity(spark):
+    """The banded (equi-join) form must return exactly the broadcast
+    nested-loop form's pairs on a 10^4-cluster corpus with mixed span
+    widths, including spans wide enough to hit the wide-span fallback."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = dt.date(2022, 1, 1)
+    rows = []
+    for c in range(10_000):
+        start = int(rng.integers(0, 3000))
+        # mostly short event spans; ~0.5% pathological multi-year spans
+        span = int(rng.integers(0, 15)) if rng.random() > 0.005 else int(
+            rng.integers(600, 1200)
+        )
+        rows.append(
+            {
+                "component": f"c{c:05d}",
+                "event_date": base + dt.timedelta(days=start),
+            }
+        )
+        rows.append(
+            {
+                "component": f"c{c:05d}",
+                "event_date": base + dt.timedelta(days=start + span),
+            }
+        )
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    banded = interval_merge_edges(df, max_gap_days=7, strategy="banded")
+    brd = interval_merge_edges(df, max_gap_days=7, strategy="broadcast")
+    got_b = {(r["ca"], r["cb"]) for r in banded.collect()}
+    got_n = {(r["ca"], r["cb"]) for r in brd.collect()}
+    assert got_b == got_n
+    assert len(got_b) > 0
+
+
+def test_interval_merge_banded_plan_no_nested_loop(spark):
+    """The banded form's candidate join must plan as an equi-join on
+    the bucket key — a BroadcastNestedLoopJoin for narrow spans would
+    be the O(C^2) shape the banding exists to kill. (The wide-span
+    fallback contributes one BNLJ over a provably tiny side; narrow
+    spans here stay under max_span_bands, and the narrow-side join must
+    be hash/sort-merge.)"""
+    base = dt.date(2023, 1, 1)
+    rows = [
+        {"component": f"c{c}", "event_date": base + dt.timedelta(days=c % 40)}
+        for c in range(200)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    edges = interval_merge_edges(df, max_gap_days=5, strategy="banded")
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    # exactly the wide-fallback BNLJ may appear; the bucket join must not
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
