@@ -500,21 +500,42 @@ def q_stream_event_counts(spark, sf_dir):
 
 def q_stream_neardup_candidates(spark, sf_dir):
     """Custom stateful streaming op (applyInPandasWithState): online
-    near-dup candidates over a documents stream, keyed state = bottom-k
-    sketches per bucket, event-time TTL. Rows-only (streaming)."""
+    near-dup candidates over a doc stream, keyed state = bottom-k
+    sketches per bucket, event-time TTL. Rows-only (streaming) but
+    SELF-CHECKING: the base docs get pairwise-dissimilar deterministic
+    texts (40 unique md5-derived tokens each — cross-doc shingle
+    Jaccard ~ 0), and exactly three near-dups are planted (d3_dup,
+    d13_dup, d23_dup = source text + a trailing edit, arriving 5 h
+    later). The output is the canonical deduped candidate pair set, so
+    the expected result is EXACTLY the 3 planted pairs
+
+        (d13, d13_dup), (d23, d23_dup), (d3, d3_dup)
+
+    — a missed planted dup drops a row (recall), a spurious candidate
+    between dissimilar docs adds one (precision): the driver's
+    row count (3) is a two-sided oracle, like ``audio_offset_pairs``.
+    """
     import tempfile
 
     from sems_event_deduplication_spark.streaming.stream_dedup import (
         run_stream_to_memory, streaming_neardup_candidates,
     )
 
-    # stage a small doc stream with a planted near-dup per 10 docs
     src = tempfile.mkdtemp(prefix="stream_nd_entry_")
+    word = lambda i: F.concat(  # noqa: E731
+        F.lit("w"),
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), i.cast("string"))),
+            1, 8,
+        ),
+    )
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
         F.concat(F.lit("d"), F.col("doc_id")).alias("clip_id"),
         (F.lit("2024-01-01 00:00:00").cast("timestamp")
          + F.make_interval(mins=F.col("doc_id").cast("int"))).alias("ts"),
-        F.col("text").alias("transcript"),
+        F.concat_ws(
+            " ", F.transform(F.sequence(F.lit(1), F.lit(40)), word)
+        ).alias("transcript"),
     )
     dups = docs.filter(F.col("clip_id").isin(["d3", "d13", "d23"])).select(
         F.concat(F.col("clip_id"), F.lit("_dup")).alias("clip_id"),
@@ -526,8 +547,13 @@ def q_stream_neardup_candidates(spark, sf_dir):
     stream = spark.readStream.schema(static.schema).json(src)
     pairs = streaming_neardup_candidates(stream, min_est_jaccard=0.5)
     name = run_stream_to_memory(pairs, "q_stream_neardup_out", "append")
-    return spark.table(name).groupBy("id_new", "id_seen").agg(
-        F.max("est_jaccard").alias("est_jaccard")
+    return (
+        spark.table(name)
+        .select(
+            F.least("id_new", "id_seen").alias("id_a"),
+            F.greatest("id_new", "id_seen").alias("id_b"),
+        )
+        .distinct()
     )
 
 

@@ -141,6 +141,29 @@ def run_audio_dedup(spark, corpus_dir: str | None) -> tuple[int, float, dict]:
     return n, time.monotonic() - t0, res.metrics_dict()
 
 
+def run_calibration(spark) -> float:
+    """Fixed-work VM-speed probe: sha2 over 4M ~1.2 KB strings in 8
+    tasks (~8 CPU-core-seconds) — identical work regardless of sf,
+    corpus size, or session core count (8 tasks saturate at cores >= 8;
+    at cores < 8 it also reflects that leg's true core budget).
+    Recorded in every bench JSON so cross-round/cross-VM comparisons
+    can be normalized against a constant instead of argued (bench VMs
+    differ round to round — measured in r2). Best of two runs (the
+    first pays codegen warmup).
+    """
+    from pyspark.sql import functions as F
+
+    best = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        spark.range(0, 4_000_000, 1, 8).agg(
+            F.expr("bit_xor(xxhash64(sha2(repeat(cast(id as string), 64), 256)))")
+        ).collect()
+        el = time.monotonic() - t0
+        best = el if best is None or el < best else best
+    return round(best, 3)
+
+
 CONTRACT_QUERIES = [
     "minhash_md5_signature",
     "jaccard_pairs_topk",
@@ -192,6 +215,7 @@ def bench_once(
         "cores": cores,
         "audio_clips": n_clips,
         "clips_per_sec": clips_per_sec,
+        "calibration_sec": run_calibration(spark),
         "audio_stages": stages,
     }
 

@@ -140,6 +140,123 @@ def main() -> None:
         planes, k=5, hamming_radius=2, p_bits=6,
     )
 
+    # --- banded interval merge (J2 scale form): equi-join on the date
+    # bucket, exact overlap test after — no BroadcastNestedLoopJoin for
+    # narrow spans (the wide-span fallback is the only permitted BNLJ
+    # and its build side is provably tiny) ------------------------------
+    import datetime as _dt
+
+    from sems_event_deduplication_spark.operators.temporal import (
+        interval_merge_edges,
+    )
+
+    span_rows = spark.range(5000).select(
+        F.concat(F.lit("cl"), F.col("id")).alias("component"),
+        F.date_add(
+            F.to_date(F.lit("2022-01-01")), (F.col("id") % 900).cast("int")
+        ).alias("event_date"),
+    )
+    interval_plan = plan_of(
+        interval_merge_edges(span_rows, max_gap_days=7, strategy="banded")
+    )
+
+    # --- date-aligned chunked checkpoint: the per-chunk filter must
+    # reach the scan as a PartitionFilter (directory pruning) ----------
+    part_src = os.path.join(tempfile.mkdtemp(prefix="plans_chunk_"), "src")
+    spark.range(2000).select(
+        F.col("id").cast("string").alias("clip_id"),
+        (F.col("id") % 16).cast("int").alias("ingest_day"),
+    ).write.partitionBy("ingest_day").parquet(part_src)
+    part_back = spark.read.parquet(part_src)
+    chunk_plan = plan_of(
+        part_back.filter(F.pmod(F.col("ingest_day"), F.lit(4)) == 0)
+    )
+
+    # --- AQE skew-join evidence on the verify join (EXECUTED, not just
+    # explained: skew splitting is a runtime re-plan). One star-center
+    # id ("hot") rides every candidate pair — the exact residual shape
+    # the star-edge cap leaves behind — with skew thresholds scaled to
+    # the fixture so the optimizer faces the same relative imbalance a
+    # 100 TB hot key presents. ------------------------------------------
+    import time as _time
+
+    n_hot = 120_000
+    sig_expr = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: F.xxhash64(F.col("clip_id"), i),
+    )
+    skew_sigs = (
+        spark.range(n_hot + 1)
+        .select(
+            F.when(F.col("id") == 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("d"), F.col("id"))).alias("clip_id")
+        )
+        .withColumn("minhash_sig", sig_expr)
+        .withColumn("shingle_hashes", sig_expr)
+    )
+    # 90% of pairs share the hot star-center. The key must be
+    # DATA-DEPENDENT: a literal 'hot' constant-folds and Catalyst
+    # rewrites the join so no skewed exchange ever exists.
+    skew_pairs = spark.range(1, n_hot + 1).select(
+        F.when(F.col("id") % 10 != 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("d"), F.col("id") + 1)).alias("id_a"),
+        F.concat(F.lit("d"), F.col("id")).alias("id_b"),
+    ).filter(F.col("id_a") != F.col("id_b"))
+    skew_conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # thresholds scaled to the fixture so the optimizer faces the
+        # same RELATIVE imbalance a 100 TB hot key presents
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved_skew = {k: spark.conf.get(k, None) for k in skew_conf}
+    skew_text = ""
+    try:
+        for k, v in skew_conf.items():
+            spark.conf.set(k, v)
+        timings = {}
+        for enabled in ("false", "true"):
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", enabled)
+            skew_df = verify.verify_jaccard(
+                skew_pairs, skew_sigs, 64, 0.0, 0.0,
+                shingles_col="shingle_hashes",
+            )
+            t0 = _time.monotonic()
+            # collect() on THIS frame: an extra .count() would finalize
+            # a different query execution and leave this plan initial
+            n = len(skew_df.collect())
+            timings[enabled] = round(_time.monotonic() - t0, 2)
+            if enabled == "true":
+                final = skew_df._jdf.queryExecution().executedPlan().toString()
+                skew_marker = "skew=true" in final
+                smj_line = next(
+                    (ln.strip() for ln in final.splitlines() if "skew=true" in ln),
+                    "",
+                )
+                aqe_read = next(
+                    (ln.strip() for ln in final.splitlines()
+                     if "AQEShuffleRead" in ln and "skewed" in ln),
+                    "",
+                )
+        skew_text = (
+            f"verify join over {n_hot} candidate pairs, ~90% sharing one hot "
+            f"star-center id, SMJ forced (no broadcast), skew thresholds "
+            f"64k/32k:\n\n"
+            f"- AQE skew split applied: **{skew_marker}** — final plan: "
+            f"`{smj_line[:140]}` with `{aqe_read[:80]}`\n"
+            f"- wall: skewJoin off {timings['false']}s vs on {timings['true']}s "
+            f"(rows={n}; at fixture scale the win is structural — the hot "
+            f"partition is split into advisory-size chunks instead of one "
+            f"straggler task — and grows with the key's byte volume)\n"
+        )
+        assert skew_marker, "AQE skew split did not trigger — fixture regressed"
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        for k, v in saved_skew.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
     sections = [
         ("signatures (scan -> exact dedup -> Arrow UDFs)", sigs, [
             "the payload-side scan must feed a **BroadcastHashJoin LeftAnti** "
@@ -181,7 +298,29 @@ def main() -> None:
             "radius-enumerated bucket set prunes parquet directories, the probe "
             "never opens non-candidate partitions",
             "the stored `sig` column is re-used by the Hamming refilter "
-            "(no signature recompute at query time); cosine re-rank is native exprs",
+            "(no signature recompute at query time; the signature itself is "
+            "written by a vectorized pandas UDF — one matmul per Arrow batch, "
+            "O(1) plan nodes at any embedding dim); cosine re-rank is native exprs",
+        ]),
+        ("banded interval merge (J2 scale form, interval_merge_edges strategy='banded')", interval_plan, [
+            "narrow spans explode to date buckets and pair through an "
+            "**equi-join on the bucket id** (SortMergeJoin/shuffled hash) — the "
+            "O(C^2) BroadcastNestedLoopJoin is gone from the candidate path",
+            "at most ONE BroadcastNestedLoopJoin may appear: the wide-span "
+            "fallback, whose build side is the (rare) spans covering more than "
+            "max_span_bands buckets",
+        ]),
+        ("date-aligned chunked checkpoint (S8): per-chunk scan pruning", chunk_plan, [
+            "with the chunk key aligned to the input's partition column "
+            "(ingest_day), each chunk pass's filter lands in "
+            "**PartitionFilters** — the scan opens only that chunk's "
+            "directories instead of re-reading the corpus per chunk",
+        ]),
+        ("AQE skew split on the verify join (EXECUTED run)", skew_text, [
+            "the LSH star-edge cap bounds bucket-level skew and reports what it "
+            "dropped (n_pairs_not_enumerated); the residual hot-key heat lands "
+            "on the verify join, where AQE splits the oversized partition — "
+            "SortMergeJoin(skew=true) below is the runtime proof",
         ]),
     ]
 

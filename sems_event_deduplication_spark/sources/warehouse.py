@@ -24,6 +24,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _needs_hadoop_fs(path: str) -> bool:
+    """Any URI-schemed warehouse path (hdfs://, s3a://, even file://)
+    must route marker/_SUCCESS/cleanup ops through the Hadoop
+    FileSystem API — ``os.path`` on ``s3a://...`` silently reports
+    nothing exists, which would degrade every resume to a full rebuild
+    and skip stale-chunk invalidation. Plain local paths keep cheap
+    os/shutil calls."""
+    return "://" in path
+
+
 def _iceberg_available(spark: SparkSession) -> bool:
     try:
         exts = spark.conf.get("spark.sql.extensions") or ""
@@ -38,7 +48,77 @@ class WarehouseIO:
         self.base_dir = base_dir
         self.use_iceberg = catalog is not None and _iceberg_available(spark)
         self.catalog = catalog
-        os.makedirs(base_dir, exist_ok=True)
+        self.remote = _needs_hadoop_fs(base_dir)
+        if self.remote:
+            self._fs_mkdirs(base_dir)
+        else:
+            os.makedirs(base_dir, exist_ok=True)
+
+    # ---- filesystem plumbing: marker/_SUCCESS/cleanup ops must work on
+    # the warehouse's OWN filesystem (hdfs://, s3a://, ...) — the 100 TB
+    # shape — not just the driver's local disk. Remote paths route
+    # through the Hadoop FileSystem API via the JVM gateway; local paths
+    # keep cheap os/shutil calls.
+
+    def _hadoop_fs(self, path: str):
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(self.spark._jsc.hadoopConfiguration()), p
+
+    def _fs_exists(self, path: str) -> bool:
+        if not self.remote:
+            return os.path.exists(path)
+        fs, p = self._hadoop_fs(path)
+        return fs.exists(p)
+
+    def _fs_rmtree(self, path: str) -> None:
+        if not self.remote:
+            shutil.rmtree(path, ignore_errors=True)
+            return
+        fs, p = self._hadoop_fs(path)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+    def _fs_mkdirs(self, path: str) -> None:
+        if not self.remote:
+            os.makedirs(path, exist_ok=True)
+            return
+        fs, p = self._hadoop_fs(path)
+        fs.mkdirs(p)
+
+    def _fs_write_text(self, path: str, text: str) -> None:
+        if not self.remote:
+            with open(path, "w") as fh:
+                fh.write(text)
+            return
+        fs, p = self._hadoop_fs(path)
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def _fs_read_text(self, path: str) -> str | None:
+        """Contents of a small text file, or None if unreadable."""
+        if not self.remote:
+            try:
+                with open(path) as fh:
+                    return fh.read()
+            except OSError:
+                return None
+        try:
+            fs, p = self._hadoop_fs(path)
+            stream = fs.open(p)
+            try:
+                return str(
+                    self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                        stream, "UTF-8"
+                    )
+                )
+            finally:
+                stream.close()
+        except Exception:
+            return None
 
     def _path(self, name: str) -> str:
         return os.path.join(self.base_dir, name)
@@ -46,7 +126,7 @@ class WarehouseIO:
     def exists(self, name: str) -> bool:
         if self.use_iceberg:
             return self.spark.catalog.tableExists(f"{self.catalog}.{name}")
-        return os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
+        return self._fs_exists(os.path.join(self._path(name), "_SUCCESS"))
 
     def save(self, df: DataFrame, name: str, stage: str | None = None) -> None:
         """Write a stage table; adds per-partition lineage columns.
@@ -77,7 +157,7 @@ class WarehouseIO:
         if self.use_iceberg:
             self.spark.sql(f"DROP TABLE IF EXISTS {self.catalog}.{name}")
         else:
-            shutil.rmtree(self._path(name), ignore_errors=True)
+            self._fs_rmtree(self._path(name))
 
     def save_bucketed(
         self,
@@ -122,6 +202,21 @@ class WarehouseIO:
         parquet path would lose the bucket metadata and re-shuffle)."""
         return self.spark.table(self._bucketed_table_name(name))
 
+    @staticmethod
+    def _chunk_key_desc(chunk_expr) -> str:
+        """Stable serialization of the chunking key for the resume
+        marker. ``Column.__str__`` is not stable across Spark versions
+        (its expression ids churn), so a version upgrade would
+        spuriously invalidate a resumable layout; the canonical SQL of
+        the expression is. Falls back to ``str`` when the SQL is
+        unavailable (e.g. Spark Connect columns)."""
+        if isinstance(chunk_expr, str):
+            return chunk_expr
+        try:
+            return str(chunk_expr._jc.expr().sql())
+        except Exception:
+            return str(chunk_expr)
+
     def checkpoint_chunked(
         self,
         df: DataFrame,
@@ -151,7 +246,7 @@ class WarehouseIO:
         (or a different chunking key) can neither survive a fresh run
         nor leak into the result of a resumed one. Lineage columns are
         stamped like every other stage write."""
-        chunk_desc = f"{n_chunks}:{chunk_expr if isinstance(chunk_expr, str) else str(chunk_expr)}"
+        chunk_desc = f"{n_chunks}:{self._chunk_key_desc(chunk_expr)}"
         if isinstance(chunk_expr, str):
             chunk_expr = F.pmod(F.xxhash64(F.col(chunk_expr)), F.lit(n_chunks))
         base = self._path(name)
@@ -162,22 +257,17 @@ class WarehouseIO:
             # assigned under a different modulus and the result would
             # silently lose/duplicate rows. A missing or mismatched
             # marker invalidates the whole layout.
-            try:
-                with open(marker) as fh:
-                    resume = fh.read() == chunk_desc
-            except OSError:
-                resume = False
+            resume = self._fs_read_text(marker) == chunk_desc
         if not resume:
-            shutil.rmtree(base, ignore_errors=True)
-            os.makedirs(base, exist_ok=True)
-            with open(marker, "w") as fh:
-                fh.write(chunk_desc)
+            self._fs_rmtree(base)
+            self._fs_mkdirs(base)
+            self._fs_write_text(marker, chunk_desc)
         stamped = df.withColumn("_lineage_stage", F.lit(name)).withColumn(
             "_lineage_part", F.spark_partition_id()
         )
         chunk_dirs = [os.path.join(base, f"chunk={i}") for i in range(n_chunks)]
         for i, sub in enumerate(chunk_dirs):
-            if resume and os.path.exists(os.path.join(sub, "_SUCCESS")):
+            if resume and self._fs_exists(os.path.join(sub, "_SUCCESS")):
                 continue
             stamped.filter(chunk_expr == i).write.mode("overwrite").parquet(sub)
         # read back ONLY the expected chunk dirs (never `base` wholesale:
