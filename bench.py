@@ -123,7 +123,12 @@ def run_audio_dedup(spark, corpus_dir: str | None) -> tuple[int, float, dict]:
     from sems_event_deduplication_spark.plans.pipeline import DedupPipeline
     from sems_event_deduplication_spark.sources.warehouse import WarehouseIO
 
-    cfg = DedupConfig()
+    # fused = the 100 TB shape this bench stands in for: digests + every
+    # fingerprint in ONE payload pass (dedup_first reads the payload
+    # twice — measured at 216k clips, the second read is ~77 s of the
+    # 2-core wall and scales at 0.46 because cached-read bandwidth is
+    # shared across cores; at real scale it is a full extra corpus scan)
+    cfg = DedupConfig(signature_scan_mode="fused")
     if corpus_dir is None:
         corpus_dir = os.path.join(tempfile.mkdtemp(prefix="bench_corpus_"), "audio_clips")
         gen_corpus(spark, corpus_dir, AUDIO_N_BASE, 0.25, 0.9)
@@ -237,6 +242,15 @@ def run_scaling(sf_dir: str) -> dict:
          str(SCALING_N_BASE), str(SCALING_DUR[0]), str(SCALING_DUR[1])],
         check=True, timeout=3000,
     )
+    # cached-regime: warm the page cache once so the FIRST leg reads
+    # the same medium as the later ones (without this, leg order biases
+    # the ratio — the first leg pays cold virtio reads and then warms
+    # the cache for everyone after it)
+    buf = bytearray(1 << 22)
+    for name in os.listdir(corpus_dir):
+        with open(os.path.join(corpus_dir, name), "rb") as fh:
+            while fh.readinto(buf):
+                pass
     results = {}
     for cores in (2, 8, 32):
         out = subprocess.run(

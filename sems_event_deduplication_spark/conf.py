@@ -69,6 +69,16 @@ class DedupConfig:
                                   #   bucketed on clip_id for a zero-Exchange
                                   #   join (WarehouseIO.save_bucketed)
     exact_dedup_max_broadcast_ids: int = 20_000_000
+    exact_digest_algo: str = "xxh128"
+                                  # xxh128 (default): 2 xxhash64 words
+                                  #   per content — ~10x sha2 bytes/sec
+                                  #   on the digest pass (pure overhead,
+                                  #   so cheapest collision-safe hash
+                                  #   wins; corpus-wide false-merge
+                                  #   ~2^-49 at 10^12 rows)
+                                  # sha256: when the digest column is
+                                  #   audited/shared externally and
+                                  #   needs preimage resistance
 
     # --- mid-stage commit granularity (SURVEY.md S8) -----------------
     signature_chunks: int = 0     # > 0: the signatures stage commits as

@@ -35,18 +35,17 @@ def exact_dedup_by_content(
     text_col: str = "transcript_norm",
     payload_col: str | None = "bytes",
     order_col: str = "clip_id",
+    algo: str = "xxh128",
 ) -> DataFrame:
     """Content-hash exact dedup: cheap cardinality cut before LSH.
 
     Mirrors the reference's "dedup before the expensive stage" ordering
     (``create_silver_label.py:67`` before ``:76``), keyed on digests so
-    binary payloads don't ride the shuffle.
+    binary payloads don't ride the shuffle. Digest algo notes:
+    ``exact_dedup_digest_keys``.
     """
-    key_names = ["__k_text"]
-    with_keys = df.withColumn("__k_text", F.sha2(F.col(text_col), 256))
-    if payload_col is not None:
-        key_names.append("__k_payload")
-        with_keys = with_keys.withColumn("__k_payload", F.sha2(F.col(payload_col), 256))
+    key_names, digests = exact_dedup_digest_keys(text_col, payload_col, algo)
+    with_keys = df.select("*", *digests)
     out = dedup_keep_last(with_keys, key_names, order_col)
     return out.drop(*key_names)
 
@@ -118,16 +117,48 @@ def kept_from_edges(
 
 
 def exact_dedup_digest_keys(
-    text_col: str, payload_col: str | None
+    text_col: str, payload_col: str | None, algo: str = "xxh128"
 ) -> tuple[list[str], list]:
     """(key column names, digest select expressions) for content-hash
     exact dedup — one definition shared by the operator and both
-    pipeline scan modes."""
-    key_names = ["__k_text"]
-    digests = [F.sha2(F.col(text_col), 256).alias("__k_text")]
+    pipeline scan modes.
+
+    ``algo``:
+
+    - ``"xxh128"`` (default): two independent ``xxhash64`` words per
+      content (second word salts the input with a distinct literal) —
+      a 128-bit composite key. xxhash runs ~10x sha2's bytes/sec and,
+      measured on the 108k-clip bench corpus, sha2 is also the
+      worst-scaling work under core contention — the digest pass is
+      pure overhead, so it should be the cheapest hash that cannot
+      collide. Collision math: P(two DIFFERENT contents agree on both
+      words) ~ 2^-128 per pair; at 10^12 rows (~2^79 pairs) the
+      corpus-wide false-merge probability is ~2^-49 — negligible
+      against any operational risk, including task retries.
+    - ``"sha256"``: cryptographic digests, for warehouses that audit or
+      share the digest column externally (content-addressable stores
+      want preimage resistance, which xxhash does not offer).
+    """
+    if algo == "sha256":
+        key_names = ["__k_text"]
+        digests = [F.sha2(F.col(text_col), 256).alias("__k_text")]
+        if payload_col is not None:
+            key_names.append("__k_payload")
+            digests.append(F.sha2(F.col(payload_col), 256).alias("__k_payload"))
+        return key_names, digests
+    if algo != "xxh128":
+        raise ValueError(f"unknown exact-dedup digest algo: {algo!r}")
+    key_names = ["__k_text_1", "__k_text_2"]
+    digests = [
+        F.xxhash64(F.col(text_col)).alias("__k_text_1"),
+        F.xxhash64(F.col(text_col), F.lit("#2")).alias("__k_text_2"),
+    ]
     if payload_col is not None:
-        key_names.append("__k_payload")
-        digests.append(F.sha2(F.col(payload_col), 256).alias("__k_payload"))
+        key_names += ["__k_payload_1", "__k_payload_2"]
+        digests += [
+            F.xxhash64(F.col(payload_col)).alias("__k_payload_1"),
+            F.xxhash64(F.col(payload_col), F.lit("#2")).alias("__k_payload_2"),
+        ]
     return key_names, digests
 
 
@@ -140,6 +171,7 @@ def exact_dedup_with_edges(
     strategy: str = "auto",
     max_broadcast_ids: int = 20_000_000,
     precomputed_edges: DataFrame | None = None,
+    algo: str = "xxh128",
 ) -> tuple[DataFrame, DataFrame]:
     """Exact dedup + the (kept_id, dropped_id) edge list.
 
@@ -182,7 +214,7 @@ def exact_dedup_with_edges(
     if precomputed_edges is not None:
         edges = precomputed_edges
     else:
-        key_names, digests = exact_dedup_digest_keys(text_col, payload_col)
+        key_names, digests = exact_dedup_digest_keys(text_col, payload_col, algo)
         base_cols = [id_col] if order_col == id_col else [id_col, order_col]
         edges = digest_rank_edges(
             df.select(*base_cols, *digests), key_names, id_col, order_col

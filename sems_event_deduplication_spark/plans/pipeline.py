@@ -250,23 +250,20 @@ class DedupPipeline:
             # dedup_first: fingerprints are computed for rows exact dedup
             # will drop, so prefer dedup_first when the dup rate is high
             # and fused when payload I/O dominates (the 100 TB shape).
+            from ..operators.exact_dedup import (
+                digest_rank_edges, exact_dedup_digest_keys, kept_from_edges,
+            )
+
             src = normalized
             if _estimated_scan_partitions(normalized) < cores:
                 src = src.repartition(cores * 2)
-            keys = ["__k_text"]
-            enriched = src.withColumn(
-                "__k_text", F.sha2(F.col("transcript_norm"), 256)
+            keys, digests = exact_dedup_digest_keys(
+                "transcript_norm", "bytes" if with_audio else None,
+                cfg.exact_digest_algo,
             )
-            if with_audio:
-                keys.append("__k_payload")
-                enriched = enriched.withColumn(
-                    "__k_payload", F.sha2(F.col("bytes"), 256)
-                )
+            enriched = src.select("*", *digests)
             sigs_all = sig_stage(
                 add_signature_columns(enriched).select(*sig_cols, *keys)
-            )
-            from ..operators.exact_dedup import (
-                digest_rank_edges, kept_from_edges,
             )
 
             exact_edges = stage(
@@ -298,7 +295,8 @@ class DedupPipeline:
             )
 
             key_names, digests = exact_dedup_digest_keys(
-                "transcript_norm", "bytes" if with_audio else None
+                "transcript_norm", "bytes" if with_audio else None,
+                cfg.exact_digest_algo,
             )
             exact_edges = stage(
                 digest_rank_edges(

@@ -96,3 +96,26 @@ def test_exact_dedup_distinguishes_payloads(spark):
     )
     kept, edges = exact_dedup_with_edges(spark.createDataFrame(pdf))
     assert kept.count() == 2 and edges.count() == 0
+
+
+def test_digest_algos_agree(spark):
+    """xxh128 (fast default) and sha256 digests must produce identical
+    dedup decisions — same keepers, same edges — on a corpus with
+    planted exact text+payload dups and payload-only differences."""
+    import pandas as pd
+
+    rows = []
+    for i in range(60):
+        text = f"event transcript {i % 20}"       # text dups across i
+        payload = bytes([i % 10]) * 40            # payload dups across i
+        rows.append({"clip_id": f"c{i:03d}", "transcript_norm": text, "bytes": payload})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = {}
+    for algo in ("xxh128", "sha256"):
+        kept, edges = exact_dedup_with_edges(df, algo=algo)
+        out[algo] = (
+            sorted(r["clip_id"] for r in kept.select("clip_id").collect()),
+            sorted(map(tuple, edges.collect())),
+        )
+    assert out["xxh128"] == out["sha256"]
+    assert len(out["xxh128"][1]) > 0  # the corpus really had dups
