@@ -92,7 +92,10 @@ def run_text_dedup(spark, sf_dir: str, cores: int) -> int:
     try:
         cands = candidate_pairs(explode_bands(sigs, "clip_id", "bands"), cfg.max_bucket_size)
         verified = verify_jaccard(cands, sigs, cfg.num_perm, cfg.jaccard_threshold, cfg.est_margin)
-        comp = connected_components(verified, "id_a", "id_b", cfg.cc_max_iterations)
+        comp = connected_components(
+            verified, "id_a", "id_b", cfg.cc_max_iterations,
+            local_threshold=cfg.cc_local_edges,
+        )
         return assign_components(sigs.select("clip_id"), comp).count()
     finally:
         sigs.unpersist()
