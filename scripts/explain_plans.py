@@ -79,9 +79,15 @@ def main() -> None:
         cfg.fft_frame, cfg.fft_hop, cfg.n_mel_bands, cfg.simhash_bits,
         cfg.seed, cfg.fft_hop // 2,
     )
+    from sems_event_deduplication_spark.operators.exact_dedup import (
+        exact_dedup_digest_keys,
+    )
+
+    digest_keys, digest_exprs = exact_dedup_digest_keys(
+        "transcript_norm", "bytes", cfg.exact_digest_algo
+    )
     fused_sigs = (
-        normalized.withColumn("__k_text", F.sha2(F.col("transcript_norm"), 256))
-        .withColumn("__k_payload", F.sha2(F.col("bytes"), 256))
+        normalized.select("*", *digest_exprs)
         .withColumn("shingles", X.char_shingles(F.col("transcript_norm"), cfg.shingle_k))
         .withColumn("shingle_hashes", M.shingle_hashes(F.col("shingles")))
         .withColumn("minhash_sig", mh(F.col("shingle_hashes")))
@@ -90,7 +96,7 @@ def main() -> None:
             "clip_id", "minhash_sig",
             F.col("__audio.audio_simhash").alias("audio_simhash"),
             F.col("__audio.landmarks").alias("landmarks"),
-            "__k_text", "__k_payload",
+            *digest_keys,
         )
     )
 
@@ -263,7 +269,7 @@ def main() -> None:
             "(BuildRight, broadcast = the small dropped-id set) — no Exchange "
             "above the payload scan: `bytes` never shuffles",
             "the digest side is a narrow projection (ReadSchema has no `bytes` "
-            "on the window branch beyond the sha2 input)",
+            "on the window branch beyond the digest input)",
             "both pandas UDFs appear as a fused ArrowEvalPython (one Python round-trip)",
         ]),
         ("LSH candidates (explode -> bucket window -> self-join)", cands, [
@@ -278,8 +284,8 @@ def main() -> None:
             "Jaccard math is native exprs inside WholeStageCodegen, no Python",
         ]),
         ("fused signature scan (signature_scan_mode='fused': one payload pass)", fused_sigs, [
-            "ONE FileScan of the payload table feeds everything: sha2 digests "
-            "are native exprs in the same WholeStageCodegen, and the MinHash + "
+            "ONE FileScan of the payload table feeds everything: the xxh128 "
+            "digest words are native exprs in the same WholeStageCodegen, and the MinHash + "
             "fused SimHash/landmark UDFs appear as a single ArrowEvalPython — "
             "the corpus payload is read (and decoded) exactly once",
             "no Exchange anywhere in this plan: exact dedup afterwards ranks "

@@ -118,12 +118,38 @@ _CONTAIN_SCHEMA = "id_a string, id_b string, contained int"
 
 
 def _suffix_array(s: str) -> list[int]:
-    """Plain suffix array (sorted suffix start offsets).
+    """Suffix array (sorted suffix start offsets) by numpy
+    rank-doubling: O(n log² n) comparisons of O(1) integer pairs.
 
-    O(n log² n) via key slicing — fine for bucket-bounded groups; the
-    point is the *distribution* (one array per bucket, never global).
+    The previous slice-key ``sorted`` did O(n) character work per
+    comparison — O(n² log n) worst case on repetitive text (exactly the
+    boilerplate shape dedup corpora are full of). Buckets are bounded
+    (``max_bucket_size`` docs), so the point remains the *distribution*
+    (one array per bucket, never global); this just makes pathological
+    buckets linear-ish instead of quadratic.
     """
-    return sorted(range(len(s)), key=lambda i: s[i:])
+    n = len(s)
+    if n == 0:
+        return []
+    if n == 1:
+        return [0]
+    # codepoint ranks (utf-32-le = one uint32 per character)
+    rank = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    k = 1
+    while True:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        r_sorted = rank[order]
+        k_sorted = key2[order]
+        neq = np.ones(n, dtype=bool)
+        neq[1:] = (r_sorted[1:] != r_sorted[:-1]) | (k_sorted[1:] != k_sorted[:-1])
+        new_rank = np.empty(n, dtype=np.int64)
+        new_rank[order] = np.cumsum(neq) - 1
+        rank = new_rank
+        if rank[order[-1]] == n - 1:  # all ranks distinct -> done
+            return order.tolist()
+        k *= 2
 
 
 def _contained_pairs_in_group(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -121,3 +121,35 @@ def test_bucket_stats_counts_star_degradation(spark):
         # 5*4/2 = 10 full pairs, 4 star edges emitted -> 6 not enumerated
         "n_pairs_not_enumerated": 6,
     }
+
+
+def test_suffix_array_matches_naive():
+    """Rank-doubling SA must equal the naive slice-sort on random and
+    pathologically repetitive strings (the shape that made slice keys
+    quadratic)."""
+    import numpy as np
+
+    from sems_event_deduplication_spark.operators.verify import _suffix_array
+
+    rng = np.random.default_rng(3)
+    cases = ["", "a", "banana\x00ana", "aaaaaaaaaa", "abababababab"]
+    for _ in range(10):
+        n = int(rng.integers(2, 200))
+        cases.append("".join(rng.choice(list("ab\x00cd"), size=n)))
+    for s in cases:
+        naive = sorted(range(len(s)), key=lambda i: s[i:])
+        assert _suffix_array(s) == naive, s[:40]
+
+
+def test_suffix_array_repetitive_fast():
+    """100k chars of pure repetition must finish in well under a second
+    (the slice-key form took minutes here)."""
+    import time
+
+    from sems_event_deduplication_spark.operators.verify import _suffix_array
+
+    s = "ab" * 50_000
+    t0 = time.monotonic()
+    sa = _suffix_array(s)
+    assert len(sa) == 100_000
+    assert time.monotonic() - t0 < 5.0
