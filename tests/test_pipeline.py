@@ -229,3 +229,40 @@ def test_boilerplate_mega_bucket_star_cap(spark):
     stats = res.lsh_stats["text"]
     assert stats["n_star_buckets"] > 0, stats
     assert stats["n_pairs_not_enumerated"] > 0, stats
+
+
+def test_fused_min_mode_resume(spark, corpus):
+    """The flagship bench configuration (fused scan + min checkpoint
+    mode) must resume from its committed north-rule stages: a second
+    run with resume=True returns identical clusters WITHOUT recomputing
+    the signatures stage (commit marker mtime unchanged — at 100 TB the
+    signature pass is hours; re-paying it would make resume
+    meaningless)."""
+    import os
+    import tempfile
+    import time
+    from dataclasses import replace
+
+    cfg_f = replace(CFG, signature_scan_mode="fused")
+    wh = WarehouseIO(spark, tempfile.mkdtemp(prefix="wh_fresume_"))
+    res1 = DedupPipeline(spark, cfg_f, wh).run(
+        corpus, with_audio=True, checkpoint_mode="min"
+    )
+
+    def cm(res):
+        return {
+            m: r["component"]
+            for r in res.clusters.collect()
+            for m in r["member_ids"]
+        }
+
+    first = cm(res1)
+    sig_marker = os.path.join(wh.base_dir, "signatures", "_SUCCESS")
+    mtime = os.path.getmtime(sig_marker)
+    time.sleep(1.1)
+
+    res2 = DedupPipeline(spark, cfg_f, wh).run(
+        corpus, resume=True, with_audio=True, checkpoint_mode="min"
+    )
+    assert cm(res2) == first
+    assert os.path.getmtime(sig_marker) == mtime  # not recomputed
