@@ -15,7 +15,8 @@ Scaling evidence (north rule: efficiency >= 0.8 between N and 4N):
     python bench.py --scaling       # runs local[8] and local[32]
 generates ONE shared corpus (distributed, deterministic), then runs the
 identical flagship pipeline in two subprocesses (one JVM each) and
-writes BENCH/BASELINE.md with clips/sec at both plus
+writes BENCH/SCALING_RUN.md (raw latest run; the curated
+analysis lives in BENCH/BASELINE.md) with clips/sec at both plus
 efficiency = (T_8 / T_32) / 4 on the pipeline wall time.
 
 The scaling corpus is sized so the job is throughput-bound (the whole
@@ -294,7 +295,9 @@ def run_scaling(sf_dir: str) -> dict:
         "n_clips": results[2]["audio_clips"],
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # raw latest-run record; BENCH/BASELINE.md is the hand-curated
+    # multi-trio analysis and must not be clobbered by a rerun
+    with open(os.path.join(REPO, "BENCH", "SCALING_RUN.md"), "w") as f:
         f.write(
             "# BENCH scaling evidence (sandbox proxy for N vs 4N executors)\n\n"
             "The identical flagship dedup pipeline (min-checkpoint mode, the\n"

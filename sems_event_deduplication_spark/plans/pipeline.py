@@ -473,15 +473,25 @@ class DedupPipeline:
         clustered = stage(clustered, "components")
 
         # ---- outputs --------------------------------------------------------
+        # survivors and clusters both derive from the COMMITTED
+        # components table and share no lineage past it — their write
+        # jobs run concurrently from two driver threads (Spark's
+        # scheduler interleaves independent jobs), overlapping the last
+        # two commits of the run instead of serializing them
         meta_cols = ["clip_id", "sr_hz", "dur_ms", "codec", "transcript"]
         if payload_in_survivors:
             meta_cols.insert(1, "bytes")
-        survivors = select_survivors(clustered).join(
+        survivors_df = select_survivors(clustered).join(
             clips.select(*meta_cols), "clip_id"
         )
-        survivors = stage(survivors, "survivors")
-        clusters = cluster_summary(clustered)
-        clusters = stage(clusters, "clusters")
+        clusters_df = cluster_summary(clustered)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_surv = pool.submit(stage, survivors_df, "survivors")
+            f_clus = pool.submit(stage, clusters_df, "clusters")
+            survivors = f_surv.result()
+            clusters = f_clus.result()
 
         return PipelineResult(
             clusters=clusters, survivors=survivors, verified_pairs=verified,

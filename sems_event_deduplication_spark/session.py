@@ -37,7 +37,14 @@ def get_spark(
         # Arrow-UDF signature stage without a payload repartition shuffle
         .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # measured on the 216k-clip corpus: 2048-row batches were ~7%
+        # SLOWER than 10k at local[8] (more Python round-trips; the
+        # per-row decode dominates, not slab size), so 10k stays the
+        # default (SPARK_ARROW_BATCH overrides for experiments)
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_ARROW_BATCH", "10000"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
