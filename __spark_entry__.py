@@ -35,6 +35,40 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _scratch_index_dir(kind: str, sf_dir: str) -> str:
+    """Pid-scoped scratch path for an index a contract query writes and
+    then probes (two concurrent runs over same-named scale dirs must
+    not clobber each other). The result DataFrame is collected by the
+    DRIVER after the query function returns, so cleanup is deferred to
+    process exit (atexit) rather than a try/finally — and dirs left by
+    crashed/killed previous runs are swept here when their pid is gone,
+    so repeated bench/contract runs do not accumulate index copies."""
+    import atexit
+    import shutil
+    import tempfile
+
+    tmp = tempfile.gettempdir()
+    prefix = f"sems_{kind}_index_contract_"
+    for name in os.listdir(tmp):
+        if not name.startswith(prefix):
+            continue
+        try:
+            pid = int(name[len(prefix):])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another user: leave it
+    own = os.path.join(tmp, f"{prefix}{os.getpid()}")
+    atexit.register(shutil.rmtree, own, ignore_errors=True)
+    return os.path.join(own, os.path.basename(sf_dir))
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -925,8 +959,6 @@ def q_ann_topk_indexed(spark, sf_dir):
     the identical sign-signature filter + cosine in SQL, so the probe
     must return exactly the brute-force answer *restricted to the
     bucket-radius candidate set* — the recall contract of the index."""
-    import tempfile
-
     import numpy as np
 
     from sems_event_deduplication_spark.operators.similarity import (
@@ -939,12 +971,7 @@ def q_ann_topk_indexed(spark, sf_dir):
         for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
     planes = np.eye(32)
-    # pid-scoped path: two concurrent contract runs over same-named
-    # scale dirs must not clobber each other's index mid-probe
-    path = os.path.join(
-        tempfile.gettempdir(), f"sems_ann_index_contract_{os.getpid()}",
-        os.path.basename(sf_dir),
-    )
+    path = _scratch_index_dir("ann", sf_dir)
     write_ann_index(
         e.filter(F.col("vec_id") != 0), path, planes, p_bits=8
     )
@@ -1093,8 +1120,6 @@ def q_ivf_topk(spark, sf_dir):
     the brute-force cosine top-10 for vec_id=1 — the oracle is exact
     SQL. Partial-probe recall (the actual ANN operating point) is
     pytest-covered."""
-    import tempfile
-
     from sems_event_deduplication_spark.operators.similarity import (
         build_ivf_centroids, ivf_topk, write_ivf_index,
     )
@@ -1105,11 +1130,7 @@ def q_ivf_topk(spark, sf_dir):
         for x in e.filter(F.col("vec_id") == 1).select("embedding").first()[0]
     ]
     cents = build_ivf_centroids(e, n_cells=8, seed=7, sample_n=256, iters=5)
-    # pid-scoped for the same concurrent-run reason as the ANN index
-    path = os.path.join(
-        tempfile.gettempdir(), f"sems_ivf_index_contract_{os.getpid()}",
-        os.path.basename(sf_dir),
-    )
+    path = _scratch_index_dir("ivf", sf_dir)
     write_ivf_index(e.filter(F.col("vec_id") != 1), path, cents)
     return ivf_topk(spark, path, qvec, cents, k=10, nprobe=len(cents))
 

@@ -125,9 +125,15 @@ class DedupConfig:
                                   # resolve components with driver
                                   # union-find (2 jobs) instead of the
                                   # alternating-star loop (~5 jobs) —
-                                  # same output, bit for bit. ~2*10^2 MB
-                                  # of driver heap worst-case at 40-char
-                                  # ids; the distributed loop engages
+                                  # same output, bit for bit. Driver
+                                  # PYTHON (not JVM heap) cost at the
+                                  # cap: Arrow collect + factorize to
+                                  # int codes keeps it at ~4M unique id
+                                  # strings + a few int64 arrays —
+                                  # ~0.5 GB worst-case at 40-char ids;
+                                  # size driver *process* memory, not
+                                  # SPARK_DRIVER_MEM, for this. The
+                                  # distributed loop engages
                                   # automatically above the cap (and is
                                   # the only path at 10^12-row scale
                                   # where the edge list can approach

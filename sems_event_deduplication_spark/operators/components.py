@@ -75,34 +75,67 @@ def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def _local_union_find(rows, u_type, v_type, spark) -> DataFrame:
-    """Driver-side union-find over a BOUNDED, already-collected edge
-    list. Union-by-min: a root is always the minimum id of its set, so
-    ``find`` yields the canonical component directly — identical output
-    to the distributed fixpoint (min member id), deterministic under
-    any input order because min is order-free."""
-    parent: dict = {}
+def _local_union_find(pdf, u_type, v_type, spark) -> DataFrame:
+    """Driver-side union-find over a BOUNDED, Arrow-collected edge
+    frame (pandas columns ``u``, ``v``). Union-by-min: a root is always
+    the minimum id of its set, so resolution yields the canonical
+    component directly — identical output to the distributed fixpoint
+    (min member id), deterministic under any input order because min is
+    order-free.
 
-    def find(x):
+    Ids are factorized to integer codes ranked by id value, so the
+    union-find runs over numpy int arrays instead of Python-object
+    dicts/sets — the driver cost is two int arrays of |V| plus ONE
+    Python pass over the |E| edge codes, not |E| Row objects plus a
+    |V|-string dict (an order of magnitude less Python heap at the
+    threshold edge counts)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(pdf)
+    codes, uniques = pd.factorize(
+        pd.concat([pdf["u"], pdf["v"]], ignore_index=True), sort=False
+    )
+    uniques = np.asarray(uniques)
+    n = len(uniques)
+    # rank space: rank i <-> i-th smallest id value, so "union by min
+    # rank" IS "union by min id" and the output comes out id-sorted
+    order = np.argsort(uniques, kind="stable")
+    rank_of_code = np.empty(n, dtype=np.int64)
+    rank_of_code[order] = np.arange(n, dtype=np.int64)
+    uniques_sorted = uniques[order]
+    eu = rank_of_code[codes[:m]]
+    ev = rank_of_code[codes[m:]]
+
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x: int) -> int:
         r = x
-        while parent.get(r, r) != r:
+        while parent[r] != r:
             r = parent[r]
-        while parent.get(x, x) != x:  # path compression
+        while parent[x] != x:  # path compression
             parent[x], x = r, parent[x]
         return r
 
-    nodes = set()
-    for u, v in rows:
-        nodes.add(u)
-        nodes.add(v)
+    for u, v in zip(eu.tolist(), ev.tolist()):
         ru, rv = find(u), find(v)
         if ru == rv:
             continue
-        lo, hi = (ru, rv) if ru < rv else (rv, ru)
-        parent[hi] = lo
+        if ru < rv:
+            parent[rv] = ru
+        else:
+            parent[ru] = rv
+    # resolve every node to its root with vectorized pointer jumping
+    while True:
+        nxt = parent[parent]
+        if np.array_equal(nxt, parent):
+            break
+        parent = nxt
     # every node that appears in an edge gets a row — roots map to
     # themselves, exactly like the distributed fixpoint's output
-    out = sorted((x, find(x)) for x in nodes)
+    out = pd.DataFrame(
+        {"clip_id": uniques_sorted, "component": uniques_sorted[parent]}
+    )
     from pyspark.sql import types as T
 
     schema = T.StructType([
@@ -156,8 +189,7 @@ def connected_components(
             info["mode"], info["iterations"] = "local", 0
         utype = dict(zip(e.schema.names, [f.dataType for f in e.schema.fields]))
         return _local_union_find(
-            ((r["u"], r["v"]) for r in e.collect()),
-            utype["u"], utype["v"], edges.sparkSession,
+            e.toPandas(), utype["u"], utype["v"], edges.sparkSession,
         )
 
     iters = 0

@@ -126,8 +126,17 @@ def exact_dedup_digest_keys(
     ``algo``:
 
     - ``"xxh128"`` (default): two independent ``xxhash64`` words per
-      content (second word salts the input with a distinct literal) —
-      a 128-bit composite key. xxhash runs ~10x sha2's bytes/sec and,
+      content (second word salt-PREFIXES the input with a distinct
+      literal) — a 128-bit composite key. The salt must come BEFORE
+      the content column: Spark chains multi-arg ``xxhash64`` by
+      feeding each argument's running hash in as the next seed, so a
+      suffix salt (``xxhash64(col, lit)``) yields a word that is a
+      pure function of ``xxhash64(col)`` — any first-word collision
+      would automatically be a full-key collision, silently reducing
+      the key to 64 bits. Prefixing hashes the content under a
+      distinct derived seed instead, making the two words
+      independent for accidental collisions.
+      xxhash runs ~10x sha2's bytes/sec and,
       measured on the 108k-clip bench corpus, sha2 is also the
       worst-scaling work under core contention — the digest pass is
       pure overhead, so it should be the cheapest hash that cannot
@@ -151,13 +160,13 @@ def exact_dedup_digest_keys(
     key_names = ["__k_text_1", "__k_text_2"]
     digests = [
         F.xxhash64(F.col(text_col)).alias("__k_text_1"),
-        F.xxhash64(F.col(text_col), F.lit("#2")).alias("__k_text_2"),
+        F.xxhash64(F.lit("#2"), F.col(text_col)).alias("__k_text_2"),
     ]
     if payload_col is not None:
         key_names += ["__k_payload_1", "__k_payload_2"]
         digests += [
             F.xxhash64(F.col(payload_col)).alias("__k_payload_1"),
-            F.xxhash64(F.col(payload_col), F.lit("#2")).alias("__k_payload_2"),
+            F.xxhash64(F.lit("#2"), F.col(payload_col)).alias("__k_payload_2"),
         ]
     return key_names, digests
 

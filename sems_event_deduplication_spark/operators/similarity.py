@@ -59,10 +59,15 @@ def make_sign_bits_udf(planes: np.ndarray):
     blowing up plan compile and codegen; this UDF is O(1) plan nodes at
     any dim and runs the arithmetic as one BLAS call per batch.
 
-    Semantics match ``sign_bits_expr`` exactly: only the first ``dim``
-    entries of each vector are read; a stored vector SHORTER than the
-    plane dim yields sig = 0 (the expression form's null-propagation
-    behavior); bit b is set iff the projection is strictly positive.
+    Semantics match ``sign_bits_expr`` exactly, including its
+    null-propagation: only the first ``dim`` entries of each vector are
+    read; bit b is set iff its projection is strictly positive, and bit
+    b is 0 whenever ANY dim its plane row actually touches (nonzero
+    weight) is missing (vector shorter than that index) or null — other
+    bits of the same vector are unaffected. With dense planes this
+    degenerates to "short vector -> sig 0", but sparse planes (e.g.
+    ``np.eye`` in tests) keep the bits whose rows avoid the missing
+    tail, exactly as the expression form does.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -70,6 +75,7 @@ def make_sign_bits_udf(planes: np.ndarray):
     if n_bits > 64:
         raise ValueError("sign signature is one int64 word: n_bits <= 64")
     proj_m = planes.T.astype(np.float64).copy()          # (dim, n_bits)
+    touched = (proj_m != 0.0)                            # (dim, n_bits)
     # bit 63 is the int64 sign bit: build weights unsigned, emit the
     # two's-complement reinterpretation (Hamming XOR/bit_count are
     # bitwise — sign is irrelevant downstream)
@@ -81,18 +87,23 @@ def make_sign_bits_udf(planes: np.ndarray):
     def sign_bits(v):
         import pandas as pd
 
-        out = np.zeros(len(v), dtype=np.int64)
-        if len(v) == 0:
+        n = len(v)
+        out = np.zeros(n, dtype=np.int64)
+        if n == 0:
             return pd.Series(out)
-        ok = np.fromiter(
-            (x is not None and len(x) >= dim for x in v), dtype=bool, count=len(v)
-        )
-        if ok.any():
-            X = np.asarray(
-                [np.asarray(v.iloc[i][:dim], dtype=np.float64) for i in np.nonzero(ok)[0]]
-            )
-            sig_u64 = ((X @ proj_m) > 0).astype(np.uint64) @ weights
-            out[ok] = np.ascontiguousarray(sig_u64).view(np.int64)
+        # pad missing tail / null rows / null elements with nan, then
+        # mask: a bit is valid iff no touched dim is nan for that row
+        X = np.full((n, dim), np.nan, dtype=np.float64)
+        for i, x in enumerate(v):
+            if x is None:
+                continue
+            row = np.asarray(x[:dim], dtype=np.float64)
+            X[i, : len(row)] = row
+        missing = np.isnan(X)                            # (n, dim)
+        valid = ~(missing @ touched)                     # (n, n_bits)
+        P = np.where(missing, 0.0, X) @ proj_m           # (n, n_bits)
+        sig_u64 = ((P > 0) & valid).astype(np.uint64) @ weights
+        out[:] = np.ascontiguousarray(sig_u64).view(np.int64)
         return pd.Series(out)
 
     return sign_bits

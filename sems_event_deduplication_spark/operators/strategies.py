@@ -5,17 +5,22 @@ Sibling of ``exact_dedup.resolve_dedup_strategy``: a blind
 dedup corpus, where most clusters are singletons and cluster count ~
 row count. The gate materializes the (narrow) aggregate once, counts
 it, and only then decides — the count and the join share the same
-computation, so the gate costs one cheap job, never a second pass over
-the aggregate's lineage.
+materialization, so the gate costs one cheap job, never a second pass
+over the aggregate's lineage (which may be a full-corpus scan).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 # ~a few hundred MB of driver hash table at typical (key, value) widths
 DEFAULT_BROADCAST_CAP_ROWS = 5_000_000
+
+# frames persisted by gated_broadcast, released via
+# release_gated_broadcasts() — see the leak note in the docstring
+_gated_frames: list[DataFrame] = []
 
 
 def gated_broadcast(
@@ -23,15 +28,38 @@ def gated_broadcast(
 ) -> DataFrame:
     """Return ``df`` hinted for broadcast only if it provably fits.
 
-    The frame is ``localCheckpoint``-ed (eager) so the gate count and
-    every downstream consumer read the same materialized partitions —
-    at most one computation of the aggregate regardless of the verdict.
-    Over the cap the un-hinted frame is returned and AQE picks the join
-    strategy from actual runtime sizes (SortMergeJoin / shuffled hash).
+    NOTE this runs one Spark job at call time — the gate cannot decide
+    without counting. The frame is ``persist(MEMORY_AND_DISK)``-ed (not
+    ``localCheckpoint``-ed: persist keeps lineage, so an executor loss
+    recomputes the lost blocks instead of permanently failing the
+    downstream join) so the gate count and every consumer read the same
+    materialized partitions — at most one computation of the aggregate
+    regardless of the verdict. Over the cap the un-hinted frame is
+    returned and AQE picks the join strategy from actual runtime sizes
+    (SortMergeJoin / shuffled hash).
 
-    ``cap_rows=0`` disables the hint unconditionally (plain join).
+    Persisted frames stay registered in executor storage until
+    ``release_gated_broadcasts()`` — call it after the consuming stage
+    materializes (long-lived sessions running many pipelines would
+    otherwise accumulate pinned aggregates). The contract entrypoints
+    and tests run one query per session, where session teardown
+    releases everything.
+
+    ``cap_rows=0`` disables the hint unconditionally (plain join, no
+    materialization, no job).
     """
     if cap_rows <= 0:
         return df
-    df = df.localCheckpoint()
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _gated_frames.append(df)
     return F.broadcast(df) if df.count() <= cap_rows else df
+
+
+def release_gated_broadcasts() -> int:
+    """Unpersist every frame materialized by ``gated_broadcast`` since
+    the last release; returns how many were released. Safe to call at
+    any time — consumers that re-execute afterwards recompute lineage."""
+    n = len(_gated_frames)
+    while _gated_frames:
+        _gated_frames.pop().unpersist(blocking=False)
+    return n

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .strategies import gated_broadcast
+
 
 def dbscan_1d_segments(
     df: DataFrame,
@@ -210,8 +212,14 @@ def interval_merge_edges(
     )
 
     # wide spans (rare by construction) still must pair with EVERYTHING
-    # they overlap, including each other: broadcast the tiny wide side
-    # into a non-equi join against the full span table
+    # they overlap, including each other: a non-equi join of the wide
+    # side against the full span table. The wide side is *usually* tiny
+    # (a span must cover > max_span_bands buckets to land here), but
+    # nothing in the data guarantees it — an archival corpus of
+    # long-lived clusters could push millions of rows through this
+    # branch — so the broadcast is count-gated, not assumed: over the
+    # cap the join degrades to a distributed nested-loop (quadratic CPU
+    # but no driver bomb), which is the honest cost of that span shape.
     w = wide.select(
         F.col("c").alias("cw"), F.col("lo").alias("lo_w"), F.col("hi").alias("hi_w")
     )
@@ -220,7 +228,7 @@ def interval_merge_edges(
     )
     wide_pairs = (
         s.join(
-            F.broadcast(w),
+            gated_broadcast(w),
             (F.col("cw") != F.col("cs"))
             & (F.col("lo_w") <= F.col("hi_s"))
             & (F.col("lo_s") <= F.col("hi_w")),

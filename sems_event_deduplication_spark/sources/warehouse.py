@@ -99,26 +99,30 @@ class WarehouseIO:
             out.close()
 
     def _fs_read_text(self, path: str) -> str | None:
-        """Contents of a small text file, or None if unreadable."""
+        """Contents of a small text file, or None iff it does not
+        exist. Any OTHER failure (remote throttle, auth refresh,
+        transport) must PROPAGATE: ``checkpoint_chunked`` treats a None
+        marker as "layout invalid" and deletes every committed chunk,
+        so swallowing a transient remote error would silently discard
+        hours of committed progress instead of failing the run."""
         if not self.remote:
             try:
                 with open(path) as fh:
                     return fh.read()
-            except OSError:
+            except FileNotFoundError:
                 return None
-        try:
-            fs, p = self._hadoop_fs(path)
-            stream = fs.open(p)
-            try:
-                return str(
-                    self.spark._jvm.org.apache.commons.io.IOUtils.toString(
-                        stream, "UTF-8"
-                    )
-                )
-            finally:
-                stream.close()
-        except Exception:
+        fs, p = self._hadoop_fs(path)
+        if not fs.exists(p):
             return None
+        stream = fs.open(p)
+        try:
+            return str(
+                self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            )
+        finally:
+            stream.close()
 
     def _path(self, name: str) -> str:
         return os.path.join(self.base_dir, name)

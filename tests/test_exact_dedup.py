@@ -119,3 +119,34 @@ def test_digest_algos_agree(spark):
         )
     assert out["xxh128"] == out["sha256"]
     assert len(out["xxh128"][1]) > 0  # the corpus really had dups
+
+
+def test_xxh128_second_word_is_salt_prefixed(spark):
+    """The composite key is 128-bit only if the two words are
+    independent. Spark chains multi-arg xxhash64 (each argument's hash
+    seeds the next), so a SUFFIX salt — xxhash64(col, lit) — makes
+    word2 a pure function of word1 = xxhash64(col), silently reducing
+    the key to 64 bits. Guard the salt-prefix ordering structurally
+    and behaviorally."""
+    from pyspark.sql import functions as F
+
+    from sems_event_deduplication_spark.operators.exact_dedup import (
+        exact_dedup_digest_keys,
+    )
+
+    names, digests = exact_dedup_digest_keys("t", "p")
+    # structural: the salt literal precedes the content column
+    for d in (digests[1], digests[3]):
+        s = str(d)
+        assert "xxhash64(#2," in s.replace("'", "").replace('"', ""), s
+    # behavioral: word2 differs from the degenerate chained suffix form
+    row = (
+        spark.createDataFrame([("hello", b"pp")], "t string, p binary")
+        .select(
+            *digests,
+            F.xxhash64(F.col("t"), F.lit("#2")).alias("suffix_chain"),
+        )
+        .collect()[0]
+    )
+    assert row["__k_text_2"] != row["suffix_chain"]
+    assert row["__k_text_1"] != row["__k_text_2"]

@@ -155,6 +155,36 @@ def test_sign_bits_udf_matches_expr(spark):
         assert e == r["u"], (r["vec_id"], r["e"], r["u"])
 
 
+def test_sign_bits_udf_matches_expr_sparse_planes(spark):
+    """Sparse planes (zero weights) + ragged/null vectors: the expr
+    zeroes ONLY bits whose plane touches a missing or null dim — the
+    UDF must reproduce that per-bit, not blanket-zero the signature."""
+    from pyspark.sql import functions as F
+    from sems_event_deduplication_spark.operators.similarity import (
+        make_sign_bits_udf, sign_bits_expr,
+    )
+
+    planes = np.eye(8)  # bit b touches only dim b
+    rows = [
+        (1, [1.0, 1.0, 1.0, 1.0]),              # short: bits 0-3 survive
+        (2, [1.0] * 8),
+        (3, None),
+        (4, [-1.0, 2.0]),
+        (5, [1.0, None, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]),  # null element
+    ]
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    both = df.select(
+        "id",
+        sign_bits_expr(F.col("v"), planes).alias("e"),
+        make_sign_bits_udf(planes)(F.col("v")).alias("u"),
+    ).collect()
+    got = {r["id"]: (r["e"] if r["e"] is not None else 0, r["u"]) for r in both}
+    assert got[1] == (15, 15)      # the prefix bits are NOT zeroed
+    assert got[5] == (253, 253)    # only the null-touching bit drops
+    for i, (e, u) in got.items():
+        assert e == u, (i, e, u)
+
+
 def test_ann_realistic_dim_no_plan_blowup(spark, tmp_path):
     """Index write + probe at dim=256 x 64 bits must not literal-unroll
     the projection (16k Catalyst nodes): the whole write+probe cycle —

@@ -45,3 +45,25 @@ def test_results_identical_both_branches(spark):
     assert sorted(map(tuple, joined_b.collect())) == sorted(
         map(tuple, joined_p.collect())
     )
+
+
+def test_gate_keeps_lineage_and_releases(spark):
+    """The gate must persist (lineage retained: an executor loss
+    recomputes lost blocks) rather than localCheckpoint (whose RDD
+    blocks are unrecoverable), and release_gated_broadcasts() must
+    unpersist everything the gate pinned since the last release."""
+    from sems_event_deduplication_spark.operators.strategies import (
+        release_gated_broadcasts,
+    )
+
+    release_gated_broadcasts()  # clean slate from earlier tests
+    base, dim = _frames(spark)
+    hinted = gated_broadcast(dim, cap_rows=100)
+    # localCheckpoint would replace the plan with a Scan ExistingRDD,
+    # severing lineage — the analyzed plan must keep the original tree
+    assert "ExistingRDD" not in hinted._jdf.queryExecution().analyzed().toString()
+    base.join(hinted, "k").collect()
+    assert release_gated_broadcasts() == 1
+    # cap_rows=0 takes the no-materialization path: nothing to release
+    gated_broadcast(dim, cap_rows=0)
+    assert release_gated_broadcasts() == 0
