@@ -96,6 +96,12 @@ def _local_union_find(pdf, u_type, v_type, spark) -> DataFrame:
     codes, uniques = pd.factorize(
         pd.concat([pdf["u"], pdf["v"]], ignore_index=True), sort=False
     )
+    if (codes < 0).any():
+        # factorize encodes nulls as -1, which would silently wrap to
+        # the max rank below and union unrelated components. The caller
+        # filters nulls via its u != v predicate; keep that invariant
+        # loud rather than corrupting output if a new call path skips it
+        raise ValueError("_local_union_find: edge list contains null ids")
     uniques = np.asarray(uniques)
     n = len(uniques)
     # rank space: rank i <-> i-th smallest id value, so "union by min

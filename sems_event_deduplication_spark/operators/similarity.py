@@ -100,9 +100,16 @@ def make_sign_bits_udf(planes: np.ndarray):
             row = np.asarray(x[:dim], dtype=np.float64)
             X[i, : len(row)] = row
         missing = np.isnan(X)                            # (n, dim)
-        valid = ~(missing @ touched)                     # (n, n_bits)
-        P = np.where(missing, 0.0, X) @ proj_m           # (n, n_bits)
-        sig_u64 = ((P > 0) & valid).astype(np.uint64) @ weights
+        if missing.any():
+            # rare ragged/null batch: mask per bit. The bool matmul is
+            # ~10x the BLAS projection's cost, so it runs only when a
+            # batch actually contains missing elements
+            valid = ~(missing @ touched)                 # (n, n_bits)
+            P = np.where(missing, 0.0, X) @ proj_m       # (n, n_bits)
+            bits_on = (P > 0) & valid
+        else:
+            bits_on = (X @ proj_m) > 0                   # dense hot path
+        sig_u64 = bits_on.astype(np.uint64) @ weights
         out[:] = np.ascontiguousarray(sig_u64).view(np.int64)
         return pd.Series(out)
 
@@ -148,9 +155,11 @@ def _query_sig(query_vec: list[float], planes: np.ndarray) -> int:
     # the stored signature reads only the first planes.shape[1] dims
     # (sign_bits_expr) — truncate a longer query the same way. A query
     # SHORTER than the plane dim projects onto the prefix planes (best
-    # effort; note stored vectors must be >= the plane dim, since
-    # sign_bits_expr's out-of-range element_at nulls the whole
-    # projection and yields sig=0 for short STORED vectors)
+    # effort; note stored vectors should be >= the plane dim — a short
+    # STORED vector zeroes exactly the bits whose plane rows touch a
+    # nonzero weight in the missing tail, per-bit null propagation:
+    # sig=0 under dense planes, surviving prefix bits under sparse
+    # planes — see sign_bits_expr / make_sign_bits_udf)
     q = np.asarray(query_vec, dtype=np.float64)[: planes.shape[1]]
     proj = planes[:, : len(q)] @ q
     sig = 0

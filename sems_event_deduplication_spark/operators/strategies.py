@@ -19,8 +19,13 @@ from pyspark.storagelevel import StorageLevel
 DEFAULT_BROADCAST_CAP_ROWS = 5_000_000
 
 # frames persisted by gated_broadcast, released via
-# release_gated_broadcasts() — see the leak note in the docstring
+# release_gated_broadcasts() — see the leak note in the docstring.
+# Bounded: past _MAX_GATED the oldest frame is evicted (unpersisted),
+# so a long-lived session that never calls release still pins at most
+# _MAX_GATED narrow aggregates; an evicted frame's consumers simply
+# recompute lineage if they execute later.
 _gated_frames: list[DataFrame] = []
+_MAX_GATED = 16
 
 
 def gated_broadcast(
@@ -52,6 +57,8 @@ def gated_broadcast(
         return df
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _gated_frames.append(df)
+    while len(_gated_frames) > _MAX_GATED:
+        _gated_frames.pop(0).unpersist(blocking=False)
     return F.broadcast(df) if df.count() <= cap_rows else df
 
 

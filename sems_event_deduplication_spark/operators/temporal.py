@@ -23,8 +23,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .strategies import gated_broadcast
-
 
 def dbscan_1d_segments(
     df: DataFrame,
@@ -140,9 +138,12 @@ def interval_merge_edges(
       Pathological spans covering more than ``max_span_bands`` buckets
       (years-long clusters) would explode the band index; they are
       split off (a tiny side at any realistic skew) and resolved
-      against the full span table with a broadcast non-equi join
-      instead — correctness is preserved for every pair shape:
-      narrow x narrow via buckets, wide x anything via the wide pass.
+      against the full span table with an unhinted non-equi join —
+      Spark/AQE sizes it at run time (tiny wide side -> broadcast
+      nested-loop; oversized -> distributed product, never a driver
+      bomb) and plan construction stays lazy. Correctness is preserved
+      for every pair shape: narrow x narrow via buckets, wide x
+      anything via the wide pass.
     - ``"broadcast"``: the O(C²) broadcast nested-loop form — cheapest
       when the cluster count is known-tiny (the reference's dozens of
       clusters; ``create_silver_label.py:359-382``), a driver bomb and
@@ -217,9 +218,12 @@ def interval_merge_edges(
     # (a span must cover > max_span_bands buckets to land here), but
     # nothing in the data guarantees it — an archival corpus of
     # long-lived clusters could push millions of rows through this
-    # branch — so the broadcast is count-gated, not assumed: over the
-    # cap the join degrades to a distributed nested-loop (quadratic CPU
-    # but no driver bomb), which is the honest cost of that span shape.
+    # branch — so the join carries NO broadcast hint: Spark/AQE picks
+    # the strategy from size estimates at run time (a tiny wide side
+    # becomes a broadcast nested-loop, an oversized one degrades to a
+    # distributed product — quadratic CPU but never a driver bomb),
+    # and plan construction stays lazy (a count-gated hint would run a
+    # Spark job over the span aggregate at call time).
     w = wide.select(
         F.col("c").alias("cw"), F.col("lo").alias("lo_w"), F.col("hi").alias("hi_w")
     )
@@ -228,7 +232,7 @@ def interval_merge_edges(
     )
     wide_pairs = (
         s.join(
-            gated_broadcast(w),
+            w,
             (F.col("cw") != F.col("cs"))
             & (F.col("lo_w") <= F.col("hi_s"))
             & (F.col("lo_s") <= F.col("hi_w")),

@@ -112,9 +112,16 @@ class WarehouseIO:
             except FileNotFoundError:
                 return None
         fs, p = self._hadoop_fs(path)
-        if not fs.exists(p):
-            return None
-        stream = fs.open(p)
+        try:
+            # open directly and classify the failure — an exists()
+            # pre-check would race a concurrent delete into a crash
+            stream = fs.open(p)
+        except Exception as exc:  # Py4JJavaError wrapping the java cause
+            java_exc = getattr(exc, "java_exception", None)
+            cls = java_exc.getClass().getName() if java_exc is not None else ""
+            if "FileNotFoundException" in cls:
+                return None
+            raise
         try:
             return str(
                 self.spark._jvm.org.apache.commons.io.IOUtils.toString(

@@ -162,3 +162,21 @@ def test_fused_sig_landmark_udf_parity(spark):
     for k in sep:
         assert sep[k][0] == fused[k][0], f"simhash differs for {k}"
         assert sep[k][1] == fused[k][1], f"landmarks differ for {k}"
+
+
+def test_stft_stride_identity():
+    """The fused UDF computes ONE STFT at lm_hop and slices every
+    (hop/lm_hop)-th frame for the SimHash config — valid only because
+    _stft_mag(pcm, f, lm_hop)[::r] is bit-identical to
+    _stft_mag(pcm, f, hop) whenever hop = r * lm_hop (same window
+    length, same frame offsets, including the short-clip pad path)."""
+    from sems_event_deduplication_spark.functions.audio import _stft_mag
+
+    rng = _rng()
+    for n in (5, 100, 511, 512, 1000, 1024, 1025, 5555, 80000):
+        pcm = rng.standard_normal(n).astype(np.float32)
+        for hop, lm_hop in ((512, 256), (512, 128), (256, 256)):
+            r = hop // lm_hop
+            assert np.array_equal(
+                _stft_mag(pcm, 1024, lm_hop)[::r], _stft_mag(pcm, 1024, hop)
+            ), (n, hop, lm_hop)
