@@ -47,6 +47,22 @@ def test_results_identical_both_branches(spark):
     )
 
 
+def test_gate_registry_is_bounded(spark, monkeypatch):
+    """Sessions that never call release_gated_broadcasts() must pin at
+    most _MAX_GATED aggregates — the oldest is evicted (unpersisted)
+    past the cap, and later consumers just recompute lineage."""
+    from sems_event_deduplication_spark.operators import strategies
+
+    strategies.release_gated_broadcasts()
+    monkeypatch.setattr(strategies, "_MAX_GATED", 2)
+    base, dim = _frames(spark)
+    frames = [gated_broadcast(dim.filter(f"y >= {i}"), cap_rows=100) for i in range(4)]
+    assert len(strategies._gated_frames) == 2
+    # evicted frames still produce correct results via lineage recompute
+    assert base.join(frames[0], "k").count() == 25
+    assert strategies.release_gated_broadcasts() == 2
+
+
 def test_gate_keeps_lineage_and_releases(spark):
     """The gate must persist (lineage retained: an executor loss
     recomputes lost blocks) rather than localCheckpoint (whose RDD
