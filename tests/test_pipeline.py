@@ -266,3 +266,17 @@ def test_fused_min_mode_resume(spark, corpus):
     )
     assert cm(res2) == first
     assert os.path.getmtime(sig_marker) == mtime  # not recomputed
+
+
+def test_degenerate_corpora(spark):
+    """The full pipeline must survive an empty corpus and a singleton
+    corpus (no candidates, no edges, CC over nothing) — the first
+    shapes any incremental deployment actually feeds it."""
+    cfg = DedupConfig()
+    one = make_corpus_pdf(n_base=1, seed=1).head(1)
+    df1 = spark.createDataFrame(one, schema=AUDIO_CLIPS_SCHEMA)
+    r1 = DedupPipeline(spark, cfg, WarehouseIO(spark, tempfile.mkdtemp())).run(df1)
+    assert r1.clusters.count() == 1 and r1.survivors.count() == 1
+    df0 = spark.createDataFrame(one.head(0), schema=AUDIO_CLIPS_SCHEMA)
+    r0 = DedupPipeline(spark, cfg, WarehouseIO(spark, tempfile.mkdtemp())).run(df0)
+    assert r0.clusters.count() == 0 and r0.survivors.count() == 0
