@@ -91,6 +91,10 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
 
+    from sems_event_deduplication_spark.operators.strategies import (
+        release_gated_broadcasts,
+    )
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
@@ -100,6 +104,10 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR).toPandas()
+            # queries using count-gated broadcasts (merge/silver) pin
+            # their narrow aggregates; this single long-lived session
+            # runs 44 of them, so release between queries
+            release_gated_broadcasts()
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             failures += 1
