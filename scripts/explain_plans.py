@@ -150,7 +150,6 @@ def main() -> None:
     # bucket, exact overlap test after — no BroadcastNestedLoopJoin for
     # narrow spans (the wide-span fallback is the only permitted BNLJ
     # and its build side is provably tiny) ------------------------------
-    import datetime as _dt
 
     from sems_event_deduplication_spark.operators.temporal import (
         interval_merge_edges,

@@ -7,7 +7,7 @@ here a single config object parameterizes one run (SURVEY.md §1.2).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass, asdict
 
 
 @dataclass(frozen=True)

@@ -176,7 +176,6 @@ def _contained_pairs_in_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pos += len(t) + 1
     sa = _suffix_array(corpus)
     out = set()
-    import bisect
 
     def doc_of(off: int) -> int:
         return int(np.searchsorted(doc_starts, off, side="right") - 1)

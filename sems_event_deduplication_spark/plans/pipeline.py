@@ -18,7 +18,6 @@ output, so ``bytes`` never rides a shuffle (SURVEY.md §7 hard part d).
 
 from __future__ import annotations
 
-import json
 import time
 from dataclasses import dataclass, field
 
