@@ -540,8 +540,11 @@ def q_stream_neardup_candidates(spark, sf_dir):
     texts (40 unique md5-derived tokens each — cross-doc shingle
     Jaccard ~ 0), and exactly three near-dups are planted (d3_dup,
     d13_dup, d23_dup = source text + a trailing edit, arriving 5 h
-    later). The output is the canonical deduped candidate pair set, so
-    the expected result is EXACTLY the 3 planted pairs
+    later). The operator emits least/greatest-CANONICAL pairs with
+    at-least-once delivery (one emission per shared bucket key — here
+    n_bucket_keys=8 to stress multiplicity), so the one aggregation a
+    consumer owes is a plain ``distinct`` on (id_a, id_b); the result
+    is EXACTLY the 3 planted pairs
 
         (d13, d13_dup), (d23, d23_dup), (d3, d3_dup)
 
@@ -579,16 +582,11 @@ def q_stream_neardup_candidates(spark, sf_dir):
     docs.unionByName(dups).write.mode("overwrite").json(src)
     static = spark.read.json(src)
     stream = spark.readStream.schema(static.schema).json(src)
-    pairs = streaming_neardup_candidates(stream, min_est_jaccard=0.5)
-    name = run_stream_to_memory(pairs, "q_stream_neardup_out", "append")
-    return (
-        spark.table(name)
-        .select(
-            F.least("id_new", "id_seen").alias("id_a"),
-            F.greatest("id_new", "id_seen").alias("id_b"),
-        )
-        .distinct()
+    pairs = streaming_neardup_candidates(
+        stream, min_est_jaccard=0.5, n_bucket_keys=8
     )
+    name = run_stream_to_memory(pairs, "q_stream_neardup_out", "append")
+    return spark.table(name).select("id_a", "id_b").distinct()
 
 
 def q_audio_dedup_clusters(spark, sf_dir):

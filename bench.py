@@ -232,16 +232,66 @@ def bench_once(
     }
 
 
+# a leg is host-contended (and rejected) when its normalized
+# calibration exceeds this multiple of the session's best — 1.5x sits
+# well above same-session jitter (~±10% measured) and well below the
+# 2-5x probes of the contention episodes that produced r3's outlier
+# pairs
+CAL_GUARD = 1.5
+MAX_LEG_RETRIES = int(os.environ.get("BENCH_SCALING_RETRIES", "3"))
+
+
+def _run_leg(cores: int, sf_dir: str, corpus_dir: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--single", str(cores)],
+        capture_output=True, text=True,
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
+             "SPARK_GRAFT_CORPUS": corpus_dir},
+        timeout=6000,
+    )
+    json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not json_lines:
+        # surface the child's actual error instead of dying with an
+        # opaque IndexError on the missing JSON line
+        raise RuntimeError(
+            f"scaling leg local[{cores}] failed (rc={out.returncode}); "
+            f"stderr tail:\n{out.stderr[-2000:]}"
+        )
+    r = json.loads(json_lines[-1])
+    # normalized calibration: the probe is 8 fixed tasks, so it uses
+    # min(cores, 8) cores — cal * min(cores, 8) is ~constant core-
+    # seconds on an uncontended box, comparable ACROSS core counts
+    return {
+        "cores": cores,
+        "t_sec": r["queries"]["audio_dedup_e2e"],
+        "clips_per_sec": r["clips_per_sec"],
+        "cal_sec": r["calibration_sec"],
+        "cal_norm": round(r["calibration_sec"] * min(cores, 8), 3),
+        "n_clips": r["audio_clips"],
+        "stages": r.get("audio_stages", {}),
+    }
+
+
 def run_scaling(sf_dir: str) -> dict:
-    """Identical flagship job at N=2 and 4N=8 cores (plus a 32-core
-    run for reference) over ONE shared corpus; efficiency =
-    (T_N / T_4N) / 4 on the pipeline wall time.
+    """Self-guarding paired scaling protocol (north rule: efficiency
+    >= 0.8 between N and 4N): the identical flagship job at N=2 and
+    4N=8 cores (plus a 32-core run for reference) over ONE shared
+    corpus; efficiency = (T_N / T_4N) / 4 on the pipeline wall time.
+
+    Every leg carries a fixed-work calibration probe; a leg whose
+    normalized calibration exceeds ``CAL_GUARD`` x the session's best
+    is host-contended — it is REJECTED and re-run automatically (up to
+    ``MAX_LEG_RETRIES``), so one command either produces a clean pair
+    or says exactly which leg stayed contended. This replaces r3's
+    run-many-disclose-all protocol, where the headline pair had to be
+    argued against outlier pairs by hand.
 
     The headline pair is 2 -> 8: on this single-socket 32-vCPU VM,
     payload-heavy stages lose per-core efficiency above ~8 concurrent
     tasks to shared-cache/VM contention (measured: a fixed 3.3 GB
-    payload scan costs ~2x the core-seconds at 32 tasks vs 8), which
-    is a property of the box, not of the plan. The 8 -> 32 numbers are
+    payload scan costs ~2x the core-seconds at 32 tasks vs 8; the VM's
+    own embarrassingly-parallel probe scales 8->32 at ~0.66), which is
+    a property of the box, not of the plan. The 8 -> 32 numbers are
     reported alongside for transparency."""
     corpus_dir = os.path.join(tempfile.mkdtemp(prefix="scaling_corpus_"), "audio_clips")
     subprocess.run(
@@ -258,29 +308,39 @@ def run_scaling(sf_dir: str) -> dict:
         with open(os.path.join(corpus_dir, name), "rb") as fh:
             while fh.readinto(buf):
                 pass
-    results = {}
-    for cores in (2, 8, 32):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single", str(cores)],
-            capture_output=True, text=True,
-            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
-                 "SPARK_GRAFT_CORPUS": corpus_dir},
-            timeout=3000,
-        )
-        json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-        if out.returncode != 0 or not json_lines:
-            # surface the child's actual error instead of dying with an
-            # opaque IndexError on the missing JSON line
-            raise RuntimeError(
-                f"scaling leg local[{cores}] failed (rc={out.returncode}); "
-                f"stderr tail:\n{out.stderr[-2000:]}"
-            )
-        results[cores] = json.loads(json_lines[-1])
-    t2 = results[2]["queries"]["audio_dedup_e2e"]
-    t8 = results[8]["queries"]["audio_dedup_e2e"]
-    t32 = results[32]["queries"]["audio_dedup_e2e"]
+
+    attempts: list[dict] = []
+
+    def leg(cores: int) -> dict:
+        a = _run_leg(cores, sf_dir, corpus_dir)
+        attempts.append(a)
+        return a
+
+    selected = {c: leg(c) for c in (2, 8, 32)}
+    # the guard anchor is the best (lowest) normalized calibration seen
+    # this session; re-run any selected leg whose own cal exceeds the
+    # guard multiple — the anchor can only improve, so iterate
+    retries = 0
+    while retries < MAX_LEG_RETRIES:
+        anchor = min(a["cal_norm"] for a in attempts)
+        dirty = [
+            c for c, a in selected.items()
+            if a["cal_norm"] > CAL_GUARD * anchor
+        ]
+        if not dirty:
+            break
+        retries += 1
+        for c in dirty:
+            selected[c]["rejected_contended"] = True
+            selected[c] = leg(c)
+    anchor = min(a["cal_norm"] for a in attempts)
+    for a in attempts:
+        a["clean"] = a["cal_norm"] <= CAL_GUARD * anchor
+
+    t2, t8, t32 = (selected[c]["t_sec"] for c in (2, 8, 32))
     eff = round((t2 / t8) / 4.0, 3)
     eff_8_32 = round((t8 / t32) / 4.0, 3)
+    pair_clean = selected[2]["clean"] and selected[8]["clean"]
     report = {
         "metric": "scaling_efficiency_n_to_4n",
         "value": eff,
@@ -289,40 +349,81 @@ def run_scaling(sf_dir: str) -> dict:
             "t_local2_sec": round(t2, 3),
             "t_local8_sec": round(t8, 3),
             "t_local32_sec": round(t32, 3),
-            "clips_per_sec_local2": results[2]["clips_per_sec"],
-            "clips_per_sec_local8": results[8]["clips_per_sec"],
-            "clips_per_sec_local32": results[32]["clips_per_sec"],
+            "clips_per_sec_local2": selected[2]["clips_per_sec"],
+            "clips_per_sec_local8": selected[8]["clips_per_sec"],
+            "clips_per_sec_local32": selected[32]["clips_per_sec"],
             "efficiency_8_to_32": eff_8_32,
         },
         "sf": _sf_label(sf_dir),
-        "n_clips": results[2]["audio_clips"],
+        "n_clips": selected[2]["n_clips"],
+        "pair_clean": pair_clean,
+        "meets_north_rule": bool(eff >= 0.8),
+        "cal_anchor_core_sec": anchor,
+        "attempts": [
+            {k: v for k, v in a.items() if k != "stages"} for a in attempts
+        ],
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    # raw latest-run record; BENCH/BASELINE.md is the hand-curated
-    # multi-trio analysis and must not be clobbered by a rerun
-    with open(os.path.join(REPO, "BENCH", "SCALING_RUN.md"), "w") as f:
-        f.write(
-            "# BENCH scaling evidence (sandbox proxy for N vs 4N executors)\n\n"
-            "The identical flagship dedup pipeline (min-checkpoint mode, the\n"
-            "north-rule stages still materialize) over ONE shared deterministic\n"
-            f"corpus of {results[2]['audio_clips']} clips "
-            f"({SCALING_DUR[0]}-{SCALING_DUR[1]}s audio each), run at three\n"
-            "parallelism levels, one JVM per run (north rule: efficiency >= 0.8\n"
-            "between N and 4N cores).\n\n"
-            f"| cores | pipeline wall (s) | audio clips/sec |\n|---|---|---|\n"
-            f"| local[2] | {round(t2,3)} | {results[2]['clips_per_sec']} |\n"
-            f"| local[8] | {round(t8,3)} | {results[8]['clips_per_sec']} |\n"
-            f"| local[32] | {round(t32,3)} | {results[32]['clips_per_sec']} |\n\n"
-            f"**Scaling efficiency N=2 -> 4N=8: (T_2 / T_8) / 4 = {eff}**\n\n"
-            f"8 -> 32 for reference: (T_8 / T_32) / 4 = {eff_8_32}. On this\n"
-            "single-socket 32-vCPU VM, per-core efficiency of payload-heavy\n"
-            "stages degrades above ~8 concurrent tasks (shared cache / VM\n"
-            "contention measured independently of Spark: a fixed-size payload\n"
-            "scan costs ~2x the core-seconds at 32 concurrent tasks vs 8), so\n"
-            "the clean N -> 4N comparison on this box is 2 -> 8.\n\n"
-            f"Full runs:\n```json\n{json.dumps(results[2])}\n{json.dumps(results[8])}\n{json.dumps(results[32])}\n```\n"
-        )
+    _write_scaling_run_md(report, selected, attempts)
     return report
+
+
+def _write_scaling_run_md(report: dict, selected: dict, attempts: list[dict]) -> None:
+    """SCALING_RUN.md = the guarded protocol's own output (every
+    attempt disclosed with its calibration and clean/contended
+    verdict) — regenerated per run so it can never contradict the
+    analysis in BENCH/BASELINE.md."""
+    eff = report["value"]
+    q = report["queries"]
+    lines = [
+        "# BENCH scaling evidence (sandbox proxy for N vs 4N executors)",
+        "",
+        "Output of `python bench.py --scaling` — the self-guarding paired",
+        "protocol: identical flagship dedup pipeline (min-checkpoint mode,",
+        "north-rule stages still materialize) over ONE shared deterministic",
+        f"corpus of {report['n_clips']} clips ({SCALING_DUR[0]}-{SCALING_DUR[1]}s audio each),",
+        "one JVM per leg; every leg carries a fixed-work calibration probe",
+        f"and any leg whose normalized calibration exceeds {CAL_GUARD}x the",
+        "session best is rejected as host-contended and re-run.",
+        "",
+        "| cores | pipeline wall (s) | audio clips/sec | cal (core-sec, norm) | clean |",
+        "|---|---|---|---|---|",
+    ]
+    for c in (2, 8, 32):
+        a = selected[c]
+        lines.append(
+            f"| local[{c}] | {round(a['t_sec'], 3)} | {a['clips_per_sec']} "
+            f"| {a['cal_norm']} | {'yes' if a['clean'] else 'NO - still contended'} |"
+        )
+    lines += [
+        "",
+        f"**Scaling efficiency N=2 -> 4N=8: (T_2 / T_8) / 4 = {eff}"
+        f"{' (>= 0.8: north rule MET)' if report['meets_north_rule'] else ' (< 0.8)'}**",
+        f"Pair legs clean by calibration guard: {report['pair_clean']}.",
+        "",
+        f"8 -> 32 for reference: (T_8 / T_32) / 4 = {q['efficiency_8_to_32']}. On this",
+        "single-socket 32-vCPU VM, per-core efficiency of payload-heavy",
+        "stages degrades above ~8 concurrent tasks (shared cache / VM",
+        "contention measured independently of Spark: a fixed-size payload",
+        "scan costs ~2x the core-seconds at 32 concurrent tasks vs 8, and",
+        "the VM's own embarrassingly-parallel probe scales 8->32 at ~0.66),",
+        "so the clean N -> 4N comparison on this box is 2 -> 8.",
+        "",
+        "Every attempt this session (rejected legs disclosed, not hidden):",
+        "",
+        "| cores | wall (s) | cal_norm | verdict |",
+        "|---|---|---|---|",
+    ]
+    for a in attempts:
+        verdict = "accepted" if a.get("clean") else "rejected (contended)"
+        if a.get("rejected_contended"):
+            verdict = "rejected (contended), re-run"
+        lines.append(
+            f"| {a['cores']} | {round(a['t_sec'], 3)} | {a['cal_norm']} | {verdict} |"
+        )
+    lines += ["", "Full report JSON:", "```json", json.dumps(report), "```", ""]
+    with open(os.path.join(REPO, "BENCH", "SCALING_RUN.md"), "w") as f:
+        f.write("\n".join(lines))
 
 
 def main():

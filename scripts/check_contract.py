@@ -104,14 +104,17 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR).toPandas()
-            # queries using count-gated broadcasts (merge/silver) pin
-            # their narrow aggregates; this single long-lived session
-            # runs 44 of them, so release between queries
-            release_gated_broadcasts()
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             failures += 1
             continue
+        finally:
+            # queries using count-gated broadcasts (merge/silver) pin
+            # their narrow aggregates; this single long-lived session
+            # runs 44 of them, so release between queries — in a
+            # finally so a FAILED query's gated frames don't stay
+            # pinned for the rest of the session
+            release_gated_broadcasts()
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(sdf)} rows, {round(time.time()-t0,1)}s)")
             continue

@@ -75,10 +75,30 @@ class DedupConfig:
                                   #   on the digest pass (pure overhead,
                                   #   so cheapest collision-safe hash
                                   #   wins; corpus-wide false-merge
-                                  #   ~2^-49 at 10^12 rows)
-                                  # sha256: when the digest column is
-                                  #   audited/shared externally and
-                                  #   needs preimage resistance
+                                  #   ~2^-49 at 10^12 rows).
+                                  #   CAVEAT (adversarial content): the
+                                  #   2^-128 math is for ACCIDENTAL
+                                  #   collisions. XXH64 is non-crypto —
+                                  #   an adversary who controls document
+                                  #   bytes can construct colliding
+                                  #   inputs, and an exact-tier collision
+                                  #   is a silent false merge that drops
+                                  #   a distinct document. For corpora
+                                  #   ingesting untrusted web/event
+                                  #   content, set sha256; xxh128 is for
+                                  #   trusted/internal corpora where the
+                                  #   digest pass is pure overhead.
+                                  #   Every committed run surfaces which
+                                  #   algo produced its exact_edges table
+                                  #   (PipelineResult.exact_digest_algo,
+                                  #   emitted in metrics_dict / bench
+                                  #   JSON), so an audit can tell the
+                                  #   regimes apart after the fact.
+                                  # sha256: cryptographic — for
+                                  #   untrusted content, and when the
+                                  #   digest column is audited/shared
+                                  #   externally and needs preimage
+                                  #   resistance
 
     # --- mid-stage commit granularity (SURVEY.md S8) -----------------
     signature_chunks: int = 0     # > 0: the signatures stage commits as

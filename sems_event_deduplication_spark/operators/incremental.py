@@ -36,19 +36,37 @@ from ..conf import DedupConfig
 from ..functions import minhash as M
 from ..functions import text as X
 from . import lsh
+from .exact_dedup import exact_dedup_digest_keys
 from .verify import verify_jaccard
 
 
 def sign_batch(batch: DataFrame, cfg: DedupConfig, id_col: str = "clip_id",
-               text_col: str = "transcript") -> DataFrame:
-    """(id, transcript) -> (id, transcript_norm, digest, shingle_hashes,
-    minhash_sig, bands) — identical expressions to the pipeline's
-    signatures stage, so batch and index signatures are comparable."""
+               text_col: str = "transcript",
+               payload_col: str | None = None) -> DataFrame:
+    """(id, transcript[, payload]) -> (id, transcript_norm, digest key
+    columns, shingle_hashes, minhash_sig, bands) — identical
+    expressions to the pipeline's signatures stage, so batch and index
+    signatures are comparable.
+
+    The exact-tier keys come from ``exact_dedup_digest_keys`` —
+    ONE definition of "exact" shared with the pipeline
+    (``cfg.exact_digest_algo``: xxh128 default, sha256 audit mode),
+    never a locally re-derived digest. With ``payload_col`` the keys
+    cover text + payload, matching the pipeline's flagship semantics
+    (same transcript over different audio is NOT content-identical);
+    text-only callers get text-only keys — see ``incremental_dedup``
+    for the semantic consequences of each choice."""
     mh = M.make_minhash_udf(cfg.num_perm, cfg.seed)
     norm = X.normalize_text(F.col(text_col))
+    _, digests = exact_dedup_digest_keys(
+        "transcript_norm", payload_col, cfg.exact_digest_algo
+    )
+    keep = [F.col(payload_col)] if payload_col is not None else []
     return (
-        batch.select(F.col(id_col).alias("clip_id"), norm.alias("transcript_norm"))
-        .withColumn("digest", F.sha2(F.col("transcript_norm"), 256))
+        batch.select(
+            F.col(id_col).alias("clip_id"), norm.alias("transcript_norm"), *keep
+        )
+        .select("clip_id", "transcript_norm", *digests)
         .withColumn(
             "shingle_hashes",
             M.shingle_hashes(X.char_shingles(F.col("transcript_norm"), cfg.shingle_k)),
@@ -97,37 +115,69 @@ def incremental_dedup(
     cfg: DedupConfig,
     id_col: str = "clip_id",
     text_col: str = "transcript",
+    payload_col: str | None = None,
 ) -> dict[str, DataFrame]:
     """Dedup a new batch against a standing signature index.
 
     ``index_sigs``: the pipeline's persisted signatures stage
-    (clip_id, transcript_norm, shingle_hashes, minhash_sig, bands) —
-    optionally pre-extended with a ``digest`` column; it is derived
-    from transcript_norm here if absent.
+    (clip_id, transcript_norm, shingle_hashes, minhash_sig, bands
+    [, digest key columns]). The exact tier keys on the SAME
+    ``exact_dedup_digest_keys`` definition as the pipeline
+    (``cfg.exact_digest_algo``), so the pipeline's persisted digest
+    columns are reused verbatim when present (the fused scan mode
+    persists them on the signatures table); a text-only index without
+    them gets text keys derived from ``transcript_norm`` here. With
+    ``payload_col`` the index MUST carry the payload key columns —
+    payloads are not in the signature table, so they cannot be
+    re-derived.
+
+    Exact-hit semantics (explicit, per the key choice):
+
+    - ``payload_col=None`` (text-only): "exact" = identical normalized
+      transcript. A batch clip with the same transcript but different
+      audio is an exact hit — right for text-only corpora, WRONG for
+      the flagship audio+text table (the pipeline would keep that row
+      as a distinct clip).
+    - ``payload_col="bytes"``: the pipeline's flagship definition —
+      "exact" = identical transcript AND identical payload. Same
+      transcript over different audio falls through to the near tier,
+      where the text Jaccard (1.0) flags it as a NEAR dup of the
+      indexed clip — clustered with it, not silently dropped as
+      content-identical, exactly as the batch pipeline treats it.
 
     Returns dict of DataFrames:
     - ``exact_hits``   (id_new, id_indexed): content-identical to an
-      indexed clip (digest equi-join; at rest the index digest table
-      is bucketed on digest, so this join is shuffle-free on the big
-      side).
+      indexed clip (digest-key equi-join; at rest the index digest
+      table is bucketed on the key columns, so this join is
+      shuffle-free on the big side).
     - ``neardup_hits`` (id_new, id_indexed, jaccard): verified near
       dups of indexed clips.
     - ``novel``        the batch rows that matched nothing — the set
       to append to the corpus and its index.
     """
-    signed = sign_batch(batch, cfg, id_col, text_col)
-    if "digest" not in index_sigs.columns:
-        index_sigs = index_sigs.withColumn(
-            "digest", F.sha2(F.col("transcript_norm"), 256)
+    signed = sign_batch(batch, cfg, id_col, text_col, payload_col)
+    keys, _ = exact_dedup_digest_keys(
+        "transcript_norm", payload_col, cfg.exact_digest_algo
+    )
+    missing = [k for k in keys if k not in index_sigs.columns]
+    if missing:
+        if payload_col is not None:
+            raise ValueError(
+                f"incremental_dedup: index_sigs lacks persisted payload digest "
+                f"columns {missing} and payloads are not part of the signature "
+                f"table — sign the index with payload_col={payload_col!r} "
+                f"(the pipeline's fused scan mode persists these keys)"
+            )
+        _, text_digests = exact_dedup_digest_keys(
+            "transcript_norm", None, cfg.exact_digest_algo
         )
+        index_sigs = index_sigs.select("*", *text_digests)
 
     exact_hits = (
-        signed.select("clip_id", "digest")
+        signed.select("clip_id", *keys)
         .join(
-            index_sigs.select(
-                F.col("clip_id").alias("id_indexed"), "digest"
-            ),
-            "digest",
+            index_sigs.select(F.col("clip_id").alias("id_indexed"), *keys),
+            keys,
         )
         .groupBy(F.col("clip_id").alias("id_new"))
         .agg(F.min("id_indexed").alias("id_indexed"))

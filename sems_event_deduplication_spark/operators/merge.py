@@ -51,7 +51,10 @@ def entity_overlap_edges(
     per-cluster set sizes joined back — never materializes n². The
     size table is one row per cluster, so its broadcast is count-gated
     (``strategies.gated_broadcast``); over the cap both size joins run
-    as plain equi-joins under AQE.
+    as plain equi-joins under AQE. NB the gate runs one eager count job
+    (and pins one persisted aggregate) at construction time — release
+    with ``strategies.release_gated_broadcasts`` after the consuming
+    stage materializes.
     """
     sizes = entity_counts.groupBy(cluster_col).agg(
         F.count(F.lit(1)).alias("n_entities")

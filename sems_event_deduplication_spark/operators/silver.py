@@ -34,7 +34,10 @@ def silver_labels(
 
     The mode table has one row per cluster — in a dedup corpus that is
     ~the row count, so the broadcast is count-gated
-    (``strategies.gated_broadcast``), not assumed."""
+    (``strategies.gated_broadcast``), not assumed. NB the gate runs one
+    eager count job and pins one persisted aggregate at construction
+    time; release with ``strategies.release_gated_broadcasts`` after
+    the consuming stage materializes."""
     cnt = df.groupBy(cluster_col, type_col).agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy(cluster_col).orderBy(F.col("n").desc(), type_col)
     mode = (
@@ -105,27 +108,57 @@ def stratified_cluster_split(
     seed: int = 420,
     large: int = 500,
     medium: int = 100,
+    strategy: str = "exact",
 ) -> DataFrame:
     """Cluster-size-stratified train/val/test split (A9 + Datasets:16-41).
 
     Buckets clusters by size (>500 large, 100-500 medium, else small),
-    then assigns whole clusters to splits in a seeded-hash order within
-    each bucket — every member of a cluster lands in the same split
-    (the reference's core requirement).
+    then assigns whole clusters to splits — every member of a cluster
+    lands in the same split (the reference's core requirement).
 
-    The shuffle key is ``xxhash64(cluster, seed)``, NOT ``rand(seed)``:
-    rand's output depends on partition layout, so a different partition
-    count or a task retry would silently reassign train/val/test
-    membership. The hash is a pure function of the row — identical
-    splits under any repartitioning.
+    The assignment key is ``xxhash64(cluster, seed)``, NOT
+    ``rand(seed)``: rand's output depends on partition layout, so a
+    different partition count or a task retry would silently reassign
+    train/val/test membership. The hash is a pure function of the row —
+    identical splits under any repartitioning.
 
-    Scale bound: the rank window partitions by only 3 size buckets, so
-    each bucket's cluster list sorts in one task — exact stratified
-    fractions require a total order per stratum. Past ~10^8 clusters
-    per bucket, switch to pure hash-threshold assignment (split by a
-    range of ``xxhash64(cluster)`` — see the ``deterministic_split``
-    contract query), which is fraction-approximate but embarrassingly
-    parallel."""
+    ``strategy`` (mirrors ``interval_merge_edges(strategy=...)``):
+
+    - ``"exact"`` (default): rank clusters by the seeded hash within
+      each size bucket (``row_number`` window) and cut at the exact
+      cumulative fractions. Exact per-stratum fractions need a total
+      order per stratum, so each bucket's cluster list sorts in ONE
+      task — fine to ~10^8 clusters per bucket (narrow rows), not
+      beyond.
+    - ``"hash"``: the scale form — each cluster's split is a pure
+      threshold test on its own hash mapped to [0, 1) (the
+      ``deterministic_split`` contract query's device). No window, no
+      per-stratum sort, embarrassingly parallel at any cluster count;
+      fractions are approximate (binomial concentration: at 10^6+
+      clusters per stratum the realized fractions are within ~0.1% of
+      the targets). Per-bucket stratification holds automatically
+      because the hash is i.i.d. uniform across clusters of every
+      bucket.
+
+    NB both strategies call ``gated_broadcast`` on the one-row-per-
+    cluster assignment, which runs one eager count job at operator-
+    construction time (see ``strategies.gated_broadcast``)."""
+    t, v, _ = weights
+    if strategy == "hash":
+        # map the 64-bit hash to u ~ U[0,1): sign bit folds in via +0.5
+        u = (
+            F.xxhash64(F.col(cluster_col), F.lit(seed)).cast("double")
+            / F.lit(float(1 << 64))
+            + F.lit(0.5)
+        )
+        assigned = members.select(cluster_col).distinct().select(
+            cluster_col,
+            F.when(u < t, "train").when(u < t + v, "val").otherwise("test")
+            .alias("split"),
+        )
+        return members.join(gated_broadcast(assigned), cluster_col)
+    if strategy != "exact":
+        raise ValueError(f"unknown stratified-split strategy: {strategy!r}")
     sizes = members.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("n"))
     bucketed = sizes.withColumn(
         "bucket",
@@ -141,7 +174,6 @@ def stratified_cluster_split(
         .withColumn("tot", F.count(F.lit(1)).over(Window.partitionBy("bucket")))
         .withColumn("frac", (F.col("rn") - 0.5) / F.col("tot"))
     )
-    t, v, _ = weights
     assigned = cum.select(
         cluster_col,
         F.when(F.col("frac") <= t, "train")
@@ -168,12 +200,17 @@ def balanced_random_pairs(
 
     ``xxhash64(id, seed)`` rather than ``rand(seed)`` everywhere, so
     the pairing is a pure function of the data — identical under any
-    partition count or task retry. The salt hash and the in-group
-    order hash use distinct mix-ins so group membership and order are
-    independent draws.
+    partition count or task retry. The salt word PREFIXES its mix-in
+    (``xxhash64('salt', id, seed)``): Spark chains multi-arg xxhash64
+    by feeding each argument's running hash in as the next seed, so a
+    suffix salt (``xxhash64(id, seed, 'salt')``) would be a pure
+    function of the order hash ``xxhash64(id, seed)`` — group
+    membership would be a deterministic scramble of the order key, not
+    an independent draw (the same chaining pitfall
+    ``exact_dedup_digest_keys`` documents for the digest words).
     """
     salt = F.pmod(
-        F.xxhash64(F.col(id_col), F.lit(seed), F.lit("salt")), F.lit(n_groups)
+        F.xxhash64(F.lit("salt"), F.col(id_col), F.lit(seed)), F.lit(n_groups)
     )
     idx = members.select(id_col).withColumn("__g", salt)
     w = Window.partitionBy("__g").orderBy(

@@ -320,12 +320,60 @@ def build_ivf_centroids(
     return C
 
 
+def make_cell_udf(centroids: np.ndarray):
+    """IVF cell assignment (argmax-dot against unit-norm centroids) as
+    a vectorized pandas UDF: ONE ``(batch, dim) @ (dim, n_cells)`` BLAS
+    matmul + argmax per Arrow batch.
+
+    This is the index-write path. The literal-expression twin
+    (``_cell_expr``) unrolls ``n_cells x dim`` Catalyst terms — ~10^6
+    expression nodes at a production quantizer (nlist ~10^3, dim 768),
+    the same plan blowup ``make_sign_bits_udf`` exists to avoid — so it
+    is kept only as the toy/parity form. Semantics match ``_cell_expr``
+    exactly: ties break to the lowest cell id (first argmax), and the
+    cell is NULL whenever the vector is null, has a null element, or
+    its length differs from the centroid dim (zip_with pads the shorter
+    side with nulls in the expr form, nulling every dot product)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.ascontiguousarray(centroids.astype(np.float64).T)  # (dim, n_cells)
+    dim = C.shape[0]
+
+    @pandas_udf("int")
+    def cell(v):
+        import pandas as pd
+
+        n = len(v)
+        X = np.zeros((n, dim), dtype=np.float64)
+        valid = np.zeros(n, dtype=bool)
+        for i, x in enumerate(v):
+            if x is None:
+                continue
+            row = np.asarray(x, dtype=np.float64)
+            if len(row) != dim or np.isnan(row).any():
+                continue
+            X[i] = row
+            valid[i] = True
+        res = np.zeros(n, dtype=np.int32)
+        if valid.any():
+            res[:] = np.argmax(X @ C, axis=1).astype(np.int32)
+        out = pd.Series(res, dtype="Int32")
+        out[~valid] = pd.NA
+        return out
+
+    return cell
+
+
 def _cell_expr(vec_col: Column, centroids: np.ndarray) -> Column:
     """argmax-cosine cell id as a native expression: one literal-array
     dot product per centroid (JVM, codegen — no UDF), argmax via
     array_position(arr, array_max(arr)). Vectors are compared by dot
     product against unit-norm centroids, which ranks identically to
-    cosine for a fixed input vector."""
+    cosine for a fixed input vector.
+
+    Plan-size bound: unrolls ``n_cells x dim`` expression terms — toy
+    dims and parity tests only. Index writes use ``make_cell_udf``
+    (same rule as ``sign_bits_expr`` vs ``make_sign_bits_udf``)."""
     dots = []
     for j in range(centroids.shape[0]):
         c = F.array(*[F.lit(float(x)) for x in centroids[j]])
@@ -344,9 +392,11 @@ def write_ivf_index(
     """Persist the table partitioned by IVF cell: a probe enumerates
     its nprobe nearest cells and the scan prunes to those directories
     (same partition-pruning contract as ``write_ann_index``, with a
-    learned quantizer instead of fixed hyperplanes)."""
+    learned quantizer instead of fixed hyperplanes). Cell assignment is
+    ``make_cell_udf`` — one matmul + argmax per Arrow batch, O(1) plan
+    nodes at any (n_cells, dim)."""
     (
-        df.withColumn("cell", _cell_expr(F.col(vec_col), centroids))
+        df.withColumn("cell", make_cell_udf(centroids)(F.col(vec_col)))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)

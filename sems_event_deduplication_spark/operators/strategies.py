@@ -11,6 +11,8 @@ over the aggregate's lineage (which may be a full-corpus scan).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -23,8 +25,13 @@ DEFAULT_BROADCAST_CAP_ROWS = 5_000_000
 # Bounded: past _MAX_GATED the oldest frame is evicted (unpersisted),
 # so a long-lived session that never calls release still pins at most
 # _MAX_GATED narrow aggregates; an evicted frame's consumers simply
-# recompute lineage if they execute later.
+# recompute lineage if they execute later. Guarded by _gated_lock: the
+# pipeline legitimately runs Spark jobs from multiple driver threads
+# (overlapped stage commits), so register/evict/release must not
+# interleave — without the lock a concurrent release could race the
+# eviction pop and double-unpersist or skip a frame.
 _gated_frames: list[DataFrame] = []
+_gated_lock = threading.Lock()
 _MAX_GATED = 16
 
 
@@ -50,23 +57,38 @@ def gated_broadcast(
     and tests run one query per session, where session teardown
     releases everything.
 
+    SIDE EFFECT callers inherit: because the gate cannot decide without
+    counting, constructing a plan through ``gated_broadcast`` (e.g.
+    ``silver_labels``, ``merge_clusters``, ``stratified_cluster_split``)
+    runs one eager Spark job and pins one persisted narrow aggregate
+    at OPERATOR-CONSTRUCTION time, even if the returned plan is never
+    executed. Plan-only callers (tests asserting on ``.explain``,
+    speculative query construction) should pass ``cap_rows=0``.
+
     ``cap_rows=0`` disables the hint unconditionally (plain join, no
     materialization, no job).
     """
     if cap_rows <= 0:
         return df
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _gated_frames.append(df)
-    while len(_gated_frames) > _MAX_GATED:
-        _gated_frames.pop(0).unpersist(blocking=False)
+    evicted: list[DataFrame] = []
+    with _gated_lock:
+        _gated_frames.append(df)
+        while len(_gated_frames) > _MAX_GATED:
+            evicted.append(_gated_frames.pop(0))
+    for old in evicted:
+        old.unpersist(blocking=False)
     return F.broadcast(df) if df.count() <= cap_rows else df
 
 
 def release_gated_broadcasts() -> int:
     """Unpersist every frame materialized by ``gated_broadcast`` since
     the last release; returns how many were released. Safe to call at
-    any time — consumers that re-execute afterwards recompute lineage."""
-    n = len(_gated_frames)
-    while _gated_frames:
-        _gated_frames.pop().unpersist(blocking=False)
-    return n
+    any time and from any thread — consumers that re-execute afterwards
+    recompute lineage."""
+    with _gated_lock:
+        drained = list(_gated_frames)
+        _gated_frames.clear()
+    for df in drained:
+        df.unpersist(blocking=False)
+    return len(drained)

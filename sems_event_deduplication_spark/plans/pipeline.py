@@ -37,13 +37,22 @@ from ..sources.warehouse import WarehouseIO
 def _estimated_scan_partitions(df: DataFrame, max_partition_bytes: int = 64 << 20) -> int:
     """Cheap estimate of a scan's task count, without compiling plans.
 
-    The old probe (``df.rdd.getNumPartitions()``) compiled the non-AQE
-    plan and forced an RDD conversion just to decide a repartition.
-    Instead: splittable parquet yields ~``ceil(bytes/maxPartitionBytes)``
-    tasks per file (session.py pins maxPartitionBytes=64m), floored at
-    one task per file. Non-file DataFrames (createDataFrame, memory
-    streams) report ``defaultParallelism`` — already well spread, no
-    repartition wanted.
+    The old probes were both driver bottlenecks at lake scale:
+    ``df.rdd.getNumPartitions()`` compiled the non-AQE plan and forced
+    an RDD conversion; the ``os.path.getsize``-per-file loop that
+    replaced it was a Python stat loop over (potentially millions of)
+    files and local-FS-only. Instead: ONE Hadoop
+    ``getContentSummary`` RPC per distinct parent directory of the
+    scan's input files — total bytes + file count in a single call,
+    uniform across local, hdfs:// and s3a:// URIs. Splittable parquet
+    yields ~``ceil(total_bytes/maxPartitionBytes)`` tasks (session.py
+    pins maxPartitionBytes=64m), floored at one task per file; the
+    per-directory summary vs per-file ceil differs by at most the
+    per-file fractional remainders (and counts 0-byte ``_SUCCESS``
+    markers toward the file floor), which cannot flip the only decision
+    this feeds — "is the scan spread over at least ``cores`` tasks".
+    Non-file DataFrames (createDataFrame, memory streams) report
+    ``defaultParallelism`` — already well spread, no repartition wanted.
     """
     try:
         files = df.inputFiles()
@@ -51,24 +60,27 @@ def _estimated_scan_partitions(df: DataFrame, max_partition_bytes: int = 64 << 2
         files = []
     if not files:
         return df.sparkSession.sparkContext.defaultParallelism
-    import os
-
-    n = 0
+    sc = df.sparkSession.sparkContext
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    parents: set[str] = set()
     for f in files:
-        if not (f.startswith("file:") or f.startswith("/")):
-            # remote storage (hdfs://, s3a://, ...): os.path.getsize
-            # cannot stat it, and treating unknown files as size 0
-            # would under-estimate and trigger the payload-shuffling
-            # repartition this heuristic exists to avoid — assume the
-            # scan is adequately partitioned
-            return df.sparkSession.sparkContext.defaultParallelism * 4
-        path = f[7:] if f.startswith("file://") else f.removeprefix("file:")
+        parent = jvm.org.apache.hadoop.fs.Path(f).getParent()
+        parents.add(str(parent) if parent is not None else f)
+    total_bytes = 0
+    n_files = 0
+    for parent in sorted(parents):
+        p = jvm.org.apache.hadoop.fs.Path(parent)
         try:
-            size = os.path.getsize(path)
-        except OSError:
-            size = 0
-        n += max(1, -(-size // max_partition_bytes))
-    return n
+            cs = p.getFileSystem(hconf).getContentSummary(p)
+            total_bytes += cs.getLength()
+            n_files += cs.getFileCount()
+        except Exception:
+            # an unreadable/just-deleted directory: assume adequately
+            # partitioned rather than triggering the payload-shuffling
+            # repartition this heuristic exists to avoid
+            return sc.defaultParallelism * 4
+    return max(n_files, -(-total_bytes // max_partition_bytes))
 
 
 @dataclass
@@ -91,6 +103,11 @@ class PipelineResult:
     # seconds — the survivors/clusters commits overlap in two threads,
     # so the sum double-counts their shared wall
     wall_sec: float = 0.0
+    # which digest algo produced the committed exact_edges table —
+    # surfaced so an audit can distinguish xxh128 (trusted-corpus
+    # speed) from sha256 (adversarial-content safety) runs after the
+    # fact (conf.py exact_digest_algo caveat)
+    exact_digest_algo: str = ""
 
     def metrics_dict(self) -> dict:
         out = {
@@ -103,6 +120,8 @@ class PipelineResult:
         }
         if self.lsh_stats:
             out["lsh_buckets"] = self.lsh_stats
+        if self.exact_digest_algo:
+            out["exact_digest_algo"] = self.exact_digest_algo
         return out
 
 
@@ -501,6 +520,7 @@ class DedupPipeline:
             clusters=clusters, survivors=survivors, verified_pairs=verified,
             metrics=metrics, lsh_stats=lsh_stats,
             wall_sec=time.monotonic() - t_run,
+            exact_digest_algo=cfg.exact_digest_algo,
         )
 
     def throughput(self, result: PipelineResult, n_clips: int) -> dict:

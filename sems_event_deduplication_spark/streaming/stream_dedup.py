@@ -76,7 +76,7 @@ def streaming_signature_counts(
 
 
 NEARDUP_OUTPUT_SCHEMA = (
-    "id_new string, id_seen string, est_jaccard double"
+    "id_a string, id_b string, est_jaccard double"
 )
 NEARDUP_STATE_SCHEMA = "ids array<string>, sketches array<array<bigint>>"
 
@@ -140,10 +140,22 @@ def streaming_neardup_candidates(
     transition (ClassCastException: ColumnarBatchRow).
 
     Per (bucket key) the state holds ids + bottom-k sketches of seen
-    members; a new arrival emits (id_new, id_seen, est_jaccard) for
-    members whose KMV-estimated Jaccard clears ``min_est_jaccard`` —
-    candidate generation + tier-1 verify online; exact verification and
-    CC remain batch jobs over the emitted pairs.
+    members; a new arrival emits a row for each member whose
+    KMV-estimated Jaccard clears ``min_est_jaccard`` — candidate
+    generation + tier-1 verify online; exact verification and CC
+    remain batch jobs over the emitted pairs.
+
+    OUTPUT CONTRACT — canonical pairs, at-least-once: every emitted
+    row is ``(id_a, id_b) = (least, greatest)`` of the two clip ids,
+    so the same unordered pair ALWAYS ships as the identical row no
+    matter which member arrived later or which bucket key produced it.
+    Delivery is at-least-once: a pair sharing ``m`` bucket keys is
+    emitted up to ``m`` times (cross-bucket dedup would need a second
+    stateful exchange, which also trips a Spark 4 planner gap — see
+    the note at the return expression). Downstream consumers MUST
+    aggregate by ``(id_a, id_b)`` (``distinct`` / ``max(est_jaccard)``)
+    before counting; because rows are canonical, that dedup is a plain
+    exact groupBy — no least/greatest normalization left to forget.
 
     State is bounded two ways (non-negotiable over an unbounded
     stream): a FIFO cap of ``max_state_per_bucket`` members per bucket
@@ -214,7 +226,9 @@ def streaming_neardup_candidates(
                         np.asarray(stored_lens, dtype=np.int64),
                     )
                     for hit in np.nonzero(ests >= min_est_jaccard)[0]:
-                        out_rows.append((cid, ids[hit], round(float(ests[hit]), 6)))
+                        seen = ids[hit]
+                        lo, hi = (cid, seen) if cid <= seen else (seen, cid)
+                        out_rows.append((lo, hi, round(float(ests[hit]), 6)))
                 ids.append(cid)
                 sketches.append([int(v) for v in sk])
                 stored_rows.append(padded(sketches[-1]))
@@ -229,12 +243,14 @@ def streaming_neardup_candidates(
         if max_ts is not None:
             state.setTimeoutTimestamp(int(pd.Timestamp(max_ts).value // 1_000_000) + ttl_ms)
         if out_rows:
-            yield pd.DataFrame(out_rows, columns=["id_new", "id_seen", "est_jaccard"])
+            yield pd.DataFrame(out_rows, columns=["id_a", "id_b", "est_jaccard"])
 
-    # NB: a pair sharing several bucket keys is emitted once per key —
-    # dedup belongs to the downstream batch verify (adding a streaming
-    # dropDuplicates here also trips a Spark 4 planner gap: the stateful
-    # operator's columnar output reaches the dedup exchange without a
+    # NB at-least-once: a pair sharing several bucket keys is emitted
+    # once per key — rows are canonicalized (least, greatest) above so
+    # the duplicates are exact row repeats, and dedup belongs to the
+    # downstream batch verify (adding a streaming dropDuplicates here
+    # also trips a Spark 4 planner gap: the stateful operator's
+    # columnar output reaches the dedup exchange without a
     # columnar->row transition and dies with ClassCastException:
     # ColumnarBatchRow).
     return (

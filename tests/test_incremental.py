@@ -79,3 +79,57 @@ def test_index_bucket_cap_keeps_representative(spark, cfg):
         batch_banded, index_banded, max_bucket_size=4
     ).collect()
     assert [(r["id_new"], r["id_indexed"]) for r in got] == [("n1", "i00")]
+
+
+def test_exact_tier_shares_pipeline_digest_keys(spark, cfg):
+    """The exact tier must key on exact_dedup_digest_keys (the
+    pipeline's definition), and reuse the index's persisted key
+    columns instead of re-deriving its own digest."""
+    from sems_event_deduplication_spark.operators.exact_dedup import (
+        exact_dedup_digest_keys,
+    )
+
+    keys, _ = exact_dedup_digest_keys("transcript_norm", None, cfg.exact_digest_algo)
+    idx = spark.createDataFrame(
+        pd.DataFrame({"clip_id": ["i0"], "transcript": [BASE[0]]})
+    )
+    signed = sign_batch(idx, cfg)
+    assert set(keys) <= set(signed.columns), (keys, signed.columns)
+
+
+def test_payload_keys_same_transcript_different_audio(spark):
+    """Flagship semantics (payload_col given): a batch clip with an
+    identical transcript but different audio is NOT an exact hit — it
+    lands in the near tier via text Jaccard 1.0 (clustered with the
+    indexed clip, not silently declared content-identical). With
+    identical payload it IS exact."""
+    cfg = DedupConfig(jaccard_threshold=0.6)
+    idx = spark.createDataFrame(
+        pd.DataFrame({
+            "clip_id": ["i0", "i1"],
+            "transcript": [BASE[0], BASE[1]],
+            "bytes": [b"\x01\x02\x03", b"\x04\x05\x06"],
+        })
+    )
+    index_sigs = sign_batch(idx, cfg, payload_col="bytes")
+    batch = spark.createDataFrame(
+        pd.DataFrame({
+            "clip_id": ["b_sametext_diffaudio", "b_sametext_sameaudio"],
+            "transcript": [BASE[0], BASE[1]],
+            "bytes": [b"\x99\x98\x97", b"\x04\x05\x06"],
+        })
+    )
+    out = incremental_dedup(batch, index_sigs, cfg, payload_col="bytes")
+    exact = {(r["id_new"], r["id_indexed"]) for r in out["exact_hits"].collect()}
+    near = {(r["id_new"], r["id_indexed"]) for r in out["neardup_hits"].collect()}
+    novel = {r["clip_id"] for r in out["novel"].collect()}
+
+    assert exact == {("b_sametext_sameaudio", "i1")}
+    assert ("b_sametext_diffaudio", "i0") in near
+    assert novel == set()
+
+    # an index signed WITHOUT payload keys must refuse payload-keyed
+    # dedup instead of silently weakening the exact definition
+    text_only_index = sign_batch(idx, cfg)
+    with pytest.raises(ValueError, match="payload digest"):
+        incremental_dedup(batch, text_only_index, cfg, payload_col="bytes")

@@ -280,3 +280,42 @@ def test_degenerate_corpora(spark):
     df0 = spark.createDataFrame(one.head(0), schema=AUDIO_CLIPS_SCHEMA)
     r0 = DedupPipeline(spark, cfg, WarehouseIO(spark, tempfile.mkdtemp())).run(df0)
     assert r0.clusters.count() == 0 and r0.survivors.count() == 0
+
+
+def test_estimated_scan_partitions_hadoop_summary(spark, tmp_path):
+    """The scan-task estimate derives from ONE getContentSummary RPC
+    per directory (no per-file Python stat loop): file-count floor for
+    many small files, byte-driven count for one big file, and
+    defaultParallelism for non-file frames."""
+    from pyspark.sql import functions as F
+
+    from sems_event_deduplication_spark.plans.pipeline import (
+        _estimated_scan_partitions,
+    )
+
+    many = str(tmp_path / "many")
+    spark.range(0, 1000).repartition(12).write.parquet(many)
+    df_many = spark.read.parquet(many)
+    est = _estimated_scan_partitions(df_many)
+    # 12 tiny files (+ a zero-byte _SUCCESS marker in the file count)
+    assert 12 <= est <= 13, est
+
+    big = str(tmp_path / "big")
+    spark.range(0, 100_000).select(
+        F.col("id"),
+        F.concat(*[
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(f":{i}")))
+            for i in range(4)
+        ]).alias("pad"),
+    ).coalesce(1).write.parquet(big)
+    df_big = spark.read.parquet(big)
+    # one parquet file of a few MB: byte-driven estimate at a small
+    # maxPartitionBytes must exceed the 2-file floor
+    est_big = _estimated_scan_partitions(df_big, max_partition_bytes=1 << 20)
+    assert est_big >= 3, est_big
+
+    mem = spark.range(10).toDF("id")
+    assert (
+        _estimated_scan_partitions(mem)
+        == spark.sparkContext.defaultParallelism
+    )

@@ -182,3 +182,35 @@ def test_label_quota_pairs_no_duplicate_orientations(spark):
     ).collect()
     keys = [(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])) for r in out]
     assert len(keys) == len(set(keys)) == 1, keys
+
+
+def test_stratified_split_hash_strategy(spark):
+    """strategy='hash' (the scale form): clusters stay whole, the
+    assignment is a pure per-row hash (no Window in the plan, so no
+    3-partition stratum sort), it is identical under repartitioning,
+    and the realized fractions concentrate around the targets."""
+    rows = [(f"h{c}_{i}", f"cl{c}") for c in range(1200) for i in range(2)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["clip_id", "merged_component"]))
+    out = stratified_cluster_split(df, weights=(0.8, 0.1, 0.1), seed=420, strategy="hash")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition" not in plan, "hash strategy must not sort strata"
+    per_cluster = (
+        out.groupBy("merged_component")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_cluster)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(counts.values())
+    assert n == 2400
+    assert 0.74 <= counts["train"] / n <= 0.86, counts
+    assert 0.06 <= counts["val"] / n <= 0.14, counts
+    assert 0.06 <= counts["test"] / n <= 0.14, counts
+    base = {(r["clip_id"], r["split"]) for r in out.collect()}
+    again = {
+        (r["clip_id"], r["split"])
+        for r in stratified_cluster_split(
+            df.repartition(7), weights=(0.8, 0.1, 0.1), seed=420, strategy="hash"
+        ).collect()
+    }
+    assert again == base

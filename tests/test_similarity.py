@@ -218,3 +218,67 @@ def test_ann_realistic_dim_no_plan_blowup(spark, tmp_path):
     # the expr form at this size spent minutes in Catalyst; the UDF
     # path is bounded by one small parquet write + pruned read
     assert elapsed < 60, f"plan-compile blowup suspected: {elapsed:.1f}s"
+
+
+def test_ivf_cell_udf_matches_expr(spark):
+    """make_cell_udf must reproduce _cell_expr cell for cell, including
+    the null semantics (null vector / null element / wrong length ->
+    null cell) and first-index tie-breaking."""
+    from pyspark.sql import functions as F
+    from sems_event_deduplication_spark.operators.similarity import (
+        _cell_expr, make_cell_udf,
+    )
+
+    rng = np.random.default_rng(7)
+    n_cells, dim = 6, 8
+    C = rng.standard_normal((n_cells, dim))
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in rng.standard_normal(dim)]) for i in range(120)]
+    rows.append((200, None))                               # null vector
+    rows.append((201, [1.0, 2.0]))                         # shorter than dim
+    rows.append((202, [float(x) for x in rng.standard_normal(dim + 3)]))  # longer
+    rows.append((203, [1.0, None, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]))  # null element
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    both = df.select(
+        "vec_id",
+        _cell_expr(F.col("embedding"), C).alias("e"),
+        make_cell_udf(C)(F.col("embedding")).alias("u"),
+    ).collect()
+    for r in both:
+        assert r["e"] == r["u"], (r["vec_id"], r["e"], r["u"])
+    assert all(r["e"] is None for r in both if r["vec_id"] >= 200)
+
+
+def test_ivf_realistic_scale_no_plan_blowup(spark, tmp_path):
+    """Index write + probe at n_cells=256, dim=256: the old literal
+    quantizer unrolled ~65k Catalyst nodes into the write plan (minutes
+    of compile at production sizes); the UDF path must finish the whole
+    write+probe cycle in seconds and still return the planted nearest
+    neighbor from a pruned partition scan."""
+    import time
+
+    from sems_event_deduplication_spark.operators.similarity import (
+        ivf_topk, write_ivf_index,
+    )
+
+    rng = np.random.default_rng(17)
+    n, dim, n_cells = 600, 256, 256
+    C = rng.standard_normal((n_cells, dim))
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    base = C[np.arange(n) % n_cells] * 3 + rng.standard_normal((n, dim))
+    base[7] = base[0] + 0.01 * rng.standard_normal(dim)
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "embedding": [[float(x) for x in r] for r in base]}
+    )
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "ivf256")
+
+    t0 = time.monotonic()
+    write_ivf_index(df.filter("vec_id <> 0"), path, C)
+    probe = ivf_topk(spark, path, [float(x) for x in base[0]], C, k=3, nprobe=4)
+    got = [r["vec_id"] for r in probe.collect()]
+    elapsed = time.monotonic() - t0
+    assert got[0] == 7
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan
+    assert elapsed < 60, f"plan-compile blowup suspected: {elapsed:.1f}s"

@@ -59,7 +59,11 @@ def test_streaming_signature_counts(spark, stream_dir):
 def test_streaming_neardup_candidates(spark):
     """Stateful near-dup detection: planted near-identical transcripts
     arriving later must pair with the earlier member; unrelated texts
-    must not pair."""
+    must not pair. Multiplicity-stressing fixture: n_bucket_keys=8, so
+    each planted pair shares many bucket keys and is emitted several
+    times (at-least-once) — every emission must be the CANONICAL
+    (least, greatest) row, and the distinct pair set must be exactly
+    the planted pairs."""
     import tempfile
 
     from sems_event_deduplication_spark.streaming.stream_dedup import (
@@ -76,7 +80,9 @@ def test_streaming_neardup_candidates(spark):
             "transcript": f"cyclone eloise slams into mozambique incident {i} "
                           f"kuri{i} zalo{i} tenka{i} dolmen{i}",
         })
-    # late near-dups of a03 and a07 (one-word tail change)
+    # late near-dups of a03 and a07 (one-word tail change); 'dup03' >
+    # 'a03' and 'dup07' > 'a07' lexicographically, so the canonical
+    # orientation puts the EARLIER member first here
     rows.append({"clip_id": "dup03", "ts": base + pd.Timedelta(minutes=20),
                  "transcript": "cyclone eloise slams into mozambique incident 3 "
                                "kuri3 zalo3 tenka3 dolmen3 extra"})
@@ -90,14 +96,17 @@ def test_streaming_neardup_candidates(spark):
     spark.createDataFrame(pd.DataFrame(rows)).write.json(path)
     static = spark.read.json(path)
     stream = spark.readStream.schema(static.schema).json(path)
-    pairs = streaming_neardup_candidates(stream, min_est_jaccard=0.5)
+    pairs = streaming_neardup_candidates(
+        stream, min_est_jaccard=0.5, n_bucket_keys=8
+    )
     name = run_stream_to_memory(pairs, "t_stream_neardup", "append")
-    got = {(r["id_new"], r["id_seen"]) for r in spark.table(name).collect()}
-    assert ("dup03", "a03") in got, got
-    assert ("dup07", "a07") in got, got
-    # no pairings between distinct incidents
-    for n, s in got:
-        assert n.replace("dup", "") in s or s.replace("a", "") in n, (n, s)
+    raw = [(r["id_a"], r["id_b"]) for r in spark.table(name).collect()]
+    got = set(raw)
+    assert got == {("a03", "dup03"), ("a07", "dup07")}, raw
+    # the fixture must actually stress multiplicity: at-least-once
+    # delivery repeats the canonical row, it never flips orientation
+    assert len(raw) > len(got), raw
+    assert all(a < b for a, b in raw), raw
 
 
 def test_kmv_est_many_matches_scalar_oracle():
