@@ -153,6 +153,83 @@ def run_audio_dedup(spark, corpus_dir: str | None) -> tuple[int, float, dict]:
     return n, time.monotonic() - t0, res.metrics_dict()
 
 
+OFFSET_N_BASE = int(os.environ.get("BENCH_OFFSET_N_BASE", "8000"))
+OFFSET_P = 0.07
+OFFSET_DUR = (1.0, 2.0)
+
+
+def run_offset_bench(cores: int) -> dict:
+    """Offset/containment audio tier at bench scale (``--offset``).
+
+    The flagship bench keeps ``with_offset_audio=False`` because its
+    corpus plants no embedded clips — this variant generates a corpus
+    where ~7% of groups embed the base clip inside a longer host
+    (unrelated pads + unrelated transcript: invisible to the text tiers
+    and to the clip-level SimHash), runs the full pipeline with the
+    landmark tier ON, and reports (a) recall on the planted offset
+    pairs via the components output, (b) the tier's stage cost inside
+    the shared fused payload pass, (c) the landmark inverted-index
+    bucket stats incl. stop-landmark pairs-not-enumerated."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sems_event_deduplication_spark.conf import DedupConfig
+    from sems_event_deduplication_spark.plans.pipeline import DedupPipeline
+    from sems_event_deduplication_spark.session import get_spark
+    from sems_event_deduplication_spark.sources.warehouse import WarehouseIO
+    from sems_event_deduplication_spark.synth import make_corpus_dist
+
+    spark = get_spark(f"bench-offset-{cores}", cores=cores, shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus_dir = os.path.join(tempfile.mkdtemp(prefix="bench_offset_"), "audio_clips")
+    make_corpus_dist(
+        spark, n_base=OFFSET_N_BASE, seed=42,
+        dur_lo=OFFSET_DUR[0], dur_hi=OFFSET_DUR[1], p_offset=OFFSET_P,
+    ).write.mode("overwrite").parquet(corpus_dir)
+    clips = spark.read.parquet(corpus_dir)
+    n = clips.count()
+
+    cfg = DedupConfig(signature_scan_mode="fused", with_offset_audio=True)
+    wh = WarehouseIO(spark, tempfile.mkdtemp(prefix="wh_offset_"))
+    t0 = time.monotonic()
+    res = DedupPipeline(spark, cfg, wh).run(
+        clips, with_audio=True, checkpoint_mode="min", payload_in_survivors=False
+    )
+    wall = time.monotonic() - t0
+
+    comp = wh.load_clean("components").select("clip_id", "component")
+    gidc = F.substring_index("clip_id", "_", 1)
+    offs = comp.filter(F.col("clip_id").endswith("_offset")).select(
+        gidc.alias("g"), F.col("component").alias("c_off")
+    )
+    bases = comp.filter(F.col("clip_id").endswith("_base")).select(
+        gidc.alias("g"), F.col("component").alias("c_base")
+    )
+    agg = offs.join(bases, "g").agg(
+        F.count(F.lit(1)).alias("n_planted"),
+        F.sum(
+            F.when(F.col("c_off") == F.col("c_base"), 1).otherwise(0)
+        ).alias("n_recovered"),
+    ).collect()[0]
+    n_planted = int(agg["n_planted"] or 0)
+    n_rec = int(agg["n_recovered"] or 0)
+    return {
+        "metric": "offset_tier_recall",
+        "value": round(n_rec / n_planted, 4) if n_planted else None,
+        "unit": "ratio",
+        "queries": {"audio_offset_e2e": round(wall, 3)},
+        "sf": -1.0,
+        "cores": cores,
+        "audio_clips": n,
+        "clips_per_sec": round(n / wall, 2),
+        "n_planted_offset_pairs": n_planted,
+        "n_recovered_offset_pairs": n_rec,
+        "calibration_sec": run_calibration(spark),
+        "audio_stages": res.metrics_dict(),
+    }
+
+
 def run_calibration(spark) -> float:
     """Fixed-work VM-speed probe: sha2 over 4M ~1.2 KB strings in 8
     tasks (~8 CPU-core-seconds) — identical work regardless of sf,
@@ -440,6 +517,9 @@ def main():
         return
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(SF_DIR)))
+        return
+    if "--offset" in sys.argv:
+        print(json.dumps(run_offset_bench(CPUS)))
         return
     if "--single" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--single") + 1])

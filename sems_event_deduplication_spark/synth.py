@@ -172,11 +172,20 @@ def make_corpus(spark: SparkSession, n_base: int = 500, seed: int = 42) -> DataF
 
 
 def _group_rows(
-    gid: int, seed: int, dur_lo: float, dur_hi: float
+    gid: int, seed: int, dur_lo: float, dur_hi: float, p_offset: float = 0.0
 ) -> list[dict]:
     """All rows for one base clip (base + 0-1 planted dup), generated
     from an rng keyed by (seed, gid) only — deterministic regardless of
-    partitioning, task order, or cluster size."""
+    partitioning, task order, or cluster size.
+
+    ``p_offset`` > 0 adds an offset/containment dup kind: the base
+    clip's audio embedded verbatim inside a longer host with unrelated
+    lead-in/lead-out tones and an unrelated transcript — invisible to
+    the text tiers AND to the clip-level SimHash (the pads change the
+    global spectrum), detectable only by the landmark offset tier
+    (operators/audio_segments.py). The branch extends the SAME uniform
+    draw the other dup kinds consume, so ``p_offset=0`` (the default)
+    leaves every existing corpus bit-identical."""
     rng = np.random.default_rng([seed, gid])
     rows: list[dict] = []
     base_date = np.datetime64("2023-05-01")
@@ -226,6 +235,17 @@ def _group_rows(
         jitter = _add_noise(pcm * rng.uniform(0.6, 1.2), rng, snr_db=float(rng.uniform(34, 45)))
         codec2 = "pcm_f32le" if rng.uniform() < 0.5 else codec
         add(jitter, sr, codec2, _transcript(rng, tag=f"{gid}b"), date, "nearaud")
+    elif r < 0.35 + p_offset:
+        # embedded/offset dup: base audio spliced between two unrelated
+        # pads (~0.4-0.8x the clip each), new transcript — only the
+        # landmark tier can tie it back to the base
+        pre = _tone(rng, sr, float(rng.uniform(0.4, 0.8)) * dur, n_partials=8)
+        post = _tone(rng, sr, float(rng.uniform(0.4, 0.8)) * dur, n_partials=8)
+        host = np.concatenate([pre, pcm, post])
+        text_o = _transcript(rng, tag=f"{gid}o") + " " + _filler_words(
+            rng, int(rng.integers(6, 11))
+        )
+        add(host, sr, codec, text_o, date, "offset")
     return rows
 
 
@@ -236,6 +256,7 @@ def make_corpus_dist(
     dur_lo: float = 0.25,
     dur_hi: float = 0.9,
     partitions: int | None = None,
+    p_offset: float = 0.0,
 ) -> DataFrame:
     """Distributed deterministic corpus — same planted-dup mix as
     ``make_corpus`` but generated executor-side with ``mapInPandas``
@@ -255,7 +276,7 @@ def make_corpus_dist(
         buf: list[dict] = []
         for pdf in batches:
             for gid in pdf["id"].tolist():
-                buf.extend(_group_rows(int(gid), seed, dur_lo, dur_hi))
+                buf.extend(_group_rows(int(gid), seed, dur_lo, dur_hi, p_offset))
                 if len(buf) >= chunk:
                     yield pd.DataFrame(buf, columns=cols)
                     buf = []

@@ -319,3 +319,51 @@ def test_estimated_scan_partitions_hadoop_summary(spark, tmp_path):
         _estimated_scan_partitions(mem)
         == spark.sparkContext.defaultParallelism
     )
+
+
+def test_offset_dups_recovered_via_landmark_tier(spark):
+    """synth p_offset > 0 plants embedded clips (base audio inside a
+    longer host, unrelated transcript + pads) that ONLY the landmark
+    offset tier can tie back to the base; with the tier on, every
+    planted offset pair must land in one component, and with the tier
+    off the text/SimHash tiers alone must miss most of them (the
+    fixture is honest — it actually requires the tier)."""
+    from sems_event_deduplication_spark.synth import make_corpus_dist
+
+    clips = make_corpus_dist(
+        spark, n_base=48, seed=11, dur_lo=1.0, dur_hi=2.0, p_offset=0.5
+    ).localCheckpoint()
+    planted = {
+        r["g"]
+        for r in clips.filter(F.col("clip_id").endswith("_offset"))
+        .select(F.substring_index("clip_id", "_", 1).alias("g"))
+        .collect()
+    }
+    assert len(planted) >= 5, "fixture planted too few offset dups"
+
+    def recovered(with_offset):
+        cfg = DedupConfig(
+            signature_scan_mode="fused", with_offset_audio=with_offset
+        )
+        wh = WarehouseIO(spark, tempfile.mkdtemp(prefix="wh_offs_"))
+        DedupPipeline(spark, cfg, wh).run(
+            clips, with_audio=True, checkpoint_mode="min",
+            payload_in_survivors=False,
+        )
+        comp = wh.load_clean("components").select("clip_id", "component")
+        gidc = F.substring_index("clip_id", "_", 1)
+        offs = comp.filter(F.col("clip_id").endswith("_offset")).select(
+            gidc.alias("g"), F.col("component").alias("c_off")
+        )
+        bases = comp.filter(F.col("clip_id").endswith("_base")).select(
+            gidc.alias("g"), F.col("component").alias("c_base")
+        )
+        return {
+            r["g"]
+            for r in offs.join(bases, "g")
+            .filter(F.col("c_off") == F.col("c_base"))
+            .collect()
+        }
+
+    assert recovered(with_offset=True) == planted
+    assert len(recovered(with_offset=False)) < len(planted) / 2
