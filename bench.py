@@ -113,8 +113,8 @@ def gen_corpus(spark, corpus_dir: str, n_base: int, dur_lo: float, dur_hi: float
     ).parquet(corpus_dir)
 
 
-def run_audio_dedup(spark, corpus_dir: str | None) -> tuple[int, float, dict]:
-    """Returns (n_clips, wall_sec, per-stage metrics dict).
+def run_audio_dedup(spark, corpus_dir: str | None) -> tuple[int, float, dict, str]:
+    """Returns (n_clips, wall_sec, per-stage metrics dict, corpus_dir).
 
     Setup (untimed): materialize the synthetic corpus as a parquet
     table + warm the Python workers — the pipeline's contract is to
@@ -150,7 +150,7 @@ def run_audio_dedup(spark, corpus_dir: str | None) -> tuple[int, float, dict]:
     res = DedupPipeline(spark, cfg, wh).run(
         clips, with_audio=True, checkpoint_mode="min", payload_in_survivors=False
     )
-    return n, time.monotonic() - t0, res.metrics_dict()
+    return n, time.monotonic() - t0, res.metrics_dict(), corpus_dir
 
 
 OFFSET_N_BASE = int(os.environ.get("BENCH_OFFSET_N_BASE", "8000"))
@@ -190,7 +190,11 @@ def run_offset_bench(cores: int) -> dict:
     clips = spark.read.parquet(corpus_dir)
     n = clips.count()
 
-    cfg = DedupConfig(signature_scan_mode="fused", with_offset_audio=True)
+    verify_mode = os.environ.get("BENCH_OFFSET_VERIFY", "count")
+    cfg = DedupConfig(
+        signature_scan_mode="fused", with_offset_audio=True,
+        offset_verify_mode=verify_mode,
+    )
     wh = WarehouseIO(spark, tempfile.mkdtemp(prefix="wh_offset_"))
     t0 = time.monotonic()
     res = DedupPipeline(spark, cfg, wh).run(
@@ -225,9 +229,48 @@ def run_offset_bench(cores: int) -> dict:
         "clips_per_sec": round(n / wall, 2),
         "n_planted_offset_pairs": n_planted,
         "n_recovered_offset_pairs": n_rec,
+        "offset_verify_mode": verify_mode,
         "calibration_sec": run_calibration(spark),
         "audio_stages": res.metrics_dict(),
     }
+
+
+def run_bw_probe(spark, corpus_dir: str | None, target_bytes: int = 4 << 30):
+    """Fixed-work cached-read BANDWIDTH probe: scan the same ~4 GB
+    prefix of the (page-cache-warmed) corpus in 8 coalesced tasks and
+    sum payload lengths. The sha2 calibration probe measures CPU only —
+    r3 measured whole sessions where multi-core legs ran 15-20% slow
+    on *memory/IO bandwidth* contention while sha2 stayed normal, which
+    is exactly the resource the payload-heavy stages contend on. This
+    probe streams real payload bytes through the same scan path, so a
+    bandwidth-contended window inflates it even when sha2 does not.
+    Deterministic file subset (sorted names), best of two runs. Returns
+    None when there is no corpus dir (contract-only benches) or it is
+    not a local directory."""
+    if corpus_dir is None or not os.path.isdir(corpus_dir):
+        return None
+    from pyspark.sql import functions as F
+
+    picked, acc = [], 0
+    for name in sorted(os.listdir(corpus_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        p = os.path.join(corpus_dir, name)
+        picked.append(p)
+        acc += os.path.getsize(p)
+        if acc >= target_bytes:
+            break
+    if not picked:
+        return None
+    best = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        spark.read.parquet(*picked).coalesce(8).agg(
+            F.sum(F.octet_length("bytes"))
+        ).collect()
+        el = time.monotonic() - t0
+        best = el if best is None or el < best else best
+    return round(best, 3)
 
 
 def run_calibration(spark) -> float:
@@ -238,7 +281,8 @@ def run_calibration(spark) -> float:
     Recorded in every bench JSON so cross-round/cross-VM comparisons
     can be normalized against a constant instead of argued (bench VMs
     differ round to round — measured in r2). Best of two runs (the
-    first pays codegen warmup).
+    first pays codegen warmup). CPU-only by design — see
+    ``run_bw_probe`` for the bandwidth companion.
     """
     from pyspark.sql import functions as F
 
@@ -283,7 +327,7 @@ def bench_once(
         run_text_dedup(spark, sf_dir, cores)
         queries["text_dedup_e2e"] = round(time.monotonic() - t0, 3)
 
-    n_clips, audio_sec, stages = run_audio_dedup(spark, corpus_dir)
+    n_clips, audio_sec, stages, corpus_dir = run_audio_dedup(spark, corpus_dir)
     queries["audio_dedup_e2e"] = round(audio_sec, 3)
     clips_per_sec = round(n_clips / audio_sec, 2)
 
@@ -305,6 +349,7 @@ def bench_once(
         "audio_clips": n_clips,
         "clips_per_sec": clips_per_sec,
         "calibration_sec": run_calibration(spark),
+        "bw_probe_sec": run_bw_probe(spark, corpus_dir),
         "audio_stages": stages,
     }
 
@@ -335,15 +380,22 @@ def _run_leg(cores: int, sf_dir: str, corpus_dir: str) -> dict:
             f"stderr tail:\n{out.stderr[-2000:]}"
         )
     r = json.loads(json_lines[-1])
-    # normalized calibration: the probe is 8 fixed tasks, so it uses
-    # min(cores, 8) cores — cal * min(cores, 8) is ~constant core-
-    # seconds on an uncontended box, comparable ACROSS core counts
+    # normalized probes: both probes are 8 fixed tasks, so they use
+    # min(cores, 8) cores — value * min(cores, 8) is ~constant core-
+    # seconds on an uncontended box, comparable ACROSS core counts.
+    # cal = CPU (sha2); bw = cached-read bandwidth (payload scan) —
+    # the two known contention modes of this shared host, measured
+    # independently because r3 recorded sessions where one moved and
+    # the other did not
+    bw = r.get("bw_probe_sec")
     return {
         "cores": cores,
         "t_sec": r["queries"]["audio_dedup_e2e"],
         "clips_per_sec": r["clips_per_sec"],
         "cal_sec": r["calibration_sec"],
         "cal_norm": round(r["calibration_sec"] * min(cores, 8), 3),
+        "bw_sec": bw,
+        "bw_norm": round(bw * min(cores, 8), 3) if bw is not None else None,
         "n_clips": r["audio_clips"],
         "stages": r.get("audio_stages", {}),
     }
@@ -355,13 +407,18 @@ def run_scaling(sf_dir: str) -> dict:
     4N=8 cores (plus a 32-core run for reference) over ONE shared
     corpus; efficiency = (T_N / T_4N) / 4 on the pipeline wall time.
 
-    Every leg carries a fixed-work calibration probe; a leg whose
-    normalized calibration exceeds ``CAL_GUARD`` x the session's best
-    is host-contended — it is REJECTED and re-run automatically (up to
-    ``MAX_LEG_RETRIES``), so one command either produces a clean pair
-    or says exactly which leg stayed contended. This replaces r3's
-    run-many-disclose-all protocol, where the headline pair had to be
-    argued against outlier pairs by hand.
+    Every leg carries TWO fixed-work probes — sha2 CPU calibration and
+    a cached payload-scan bandwidth probe (``run_bw_probe``; r4
+    measured slow windows where multi-core legs ran 15-20% long with
+    the CPU probe normal — the contended resource was cached-read
+    bandwidth). A leg where either normalized probe exceeds
+    ``CAL_GUARD`` x the session's best is host-contended — it is
+    REJECTED and re-run automatically (up to ``MAX_LEG_RETRIES``), so
+    one command either produces a clean pair or says exactly which leg
+    stayed contended. This replaces r3's run-many-disclose-all
+    protocol, where the headline pair had to be argued against outlier
+    pairs by hand. ``SPARK_GRAFT_SCALING_CORPUS`` reuses an existing
+    corpus directory instead of regenerating 34 GB per invocation.
 
     The headline pair is 2 -> 8: on this single-socket 32-vCPU VM,
     payload-heavy stages lose per-core efficiency above ~8 concurrent
@@ -370,12 +427,16 @@ def run_scaling(sf_dir: str) -> dict:
     own embarrassingly-parallel probe scales 8->32 at ~0.66), which is
     a property of the box, not of the plan. The 8 -> 32 numbers are
     reported alongside for transparency."""
-    corpus_dir = os.path.join(tempfile.mkdtemp(prefix="scaling_corpus_"), "audio_clips")
-    subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--gen-corpus", corpus_dir,
-         str(SCALING_N_BASE), str(SCALING_DUR[0]), str(SCALING_DUR[1])],
-        check=True, timeout=3000,
-    )
+    corpus_dir = os.environ.get("SPARK_GRAFT_SCALING_CORPUS")
+    if not corpus_dir:
+        corpus_dir = os.path.join(
+            tempfile.mkdtemp(prefix="scaling_corpus_"), "audio_clips"
+        )
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--gen-corpus", corpus_dir,
+             str(SCALING_N_BASE), str(SCALING_DUR[0]), str(SCALING_DUR[1])],
+            check=True, timeout=3000,
+        )
     # cached-regime: warm the page cache once so the FIRST leg reads
     # the same medium as the later ones (without this, leg order biases
     # the ratio — the first leg pays cold virtio reads and then warms
@@ -394,30 +455,62 @@ def run_scaling(sf_dir: str) -> dict:
         return a
 
     selected = {c: leg(c) for c in (2, 8, 32)}
-    # the guard anchor is the best (lowest) normalized calibration seen
-    # this session; re-run any selected leg whose own cal exceeds the
-    # guard multiple — the anchor can only improve, so iterate
+
+    # Guard anchors: CPU cal is cross-core comparable (sha2 saturates
+    # its min(cores, 8) task slots with no shared resource), so its
+    # anchor is the session-wide best. The bandwidth probe is NOT —
+    # higher concurrency structurally shares cached-read bandwidth
+    # (measured: bw_norm ~1.4x higher on 8-core legs than 2-core legs
+    # on a quiet host) — so its anchor is the best among attempts AT
+    # THE SAME core count (first attempt per count can't self-trip;
+    # re-runs and repeat sessions can). A leg is contended when either
+    # probe exceeds the guard multiple of its anchor; r4 measured slow
+    # windows where only the bandwidth axis moved.
+    def is_dirty(a: dict) -> bool:
+        cal_anchor = min(x["cal_norm"] for x in attempts)
+        if a["cal_norm"] > CAL_GUARD * cal_anchor:
+            return True
+        same = [
+            x["bw_norm"] for x in attempts
+            if x["cores"] == a["cores"] and x["bw_norm"] is not None
+        ]
+        return bool(
+            same
+            and a["bw_norm"] is not None
+            and a["bw_norm"] > CAL_GUARD * min(same)
+        )
+
     retries = 0
     while retries < MAX_LEG_RETRIES:
-        anchor = min(a["cal_norm"] for a in attempts)
-        dirty = [
-            c for c, a in selected.items()
-            if a["cal_norm"] > CAL_GUARD * anchor
-        ]
+        dirty = [c for c, a in selected.items() if is_dirty(a)]
         if not dirty:
             break
         retries += 1
         for c in dirty:
             selected[c]["rejected_contended"] = True
             selected[c] = leg(c)
-    anchor = min(a["cal_norm"] for a in attempts)
     for a in attempts:
-        a["clean"] = a["cal_norm"] <= CAL_GUARD * anchor
+        a["clean"] = not is_dirty(a)
+    anc = (
+        min(a["cal_norm"] for a in attempts),
+        min(
+            (a["bw_norm"] for a in attempts if a["bw_norm"] is not None),
+            default=None,
+        ),
+    )
 
     t2, t8, t32 = (selected[c]["t_sec"] for c in (2, 8, 32))
     eff = round((t2 / t8) / 4.0, 3)
     eff_8_32 = round((t8 / t32) / 4.0, 3)
     pair_clean = selected[2]["clean"] and selected[8]["clean"]
+
+    # the VM's own 2->8 efficiency on each probe, same formula as the
+    # pipeline pair — context for reading the headline: a pipeline
+    # number between/above the box's own probe efficiencies means the
+    # plan adds no scaling overhead beyond the hardware's sharing
+    def probe_eff(key: str):
+        v2, v8 = selected[2].get(key), selected[8].get(key)
+        return round((v2 / v8) / 4.0, 3) if v2 and v8 else None
     report = {
         "metric": "scaling_efficiency_n_to_4n",
         "value": eff,
@@ -435,7 +528,9 @@ def run_scaling(sf_dir: str) -> dict:
         "n_clips": selected[2]["n_clips"],
         "pair_clean": pair_clean,
         "meets_north_rule": bool(eff >= 0.8),
-        "cal_anchor_core_sec": anchor,
+        "vm_probe_eff_2_8": {"cpu": probe_eff("cal_sec"), "bw": probe_eff("bw_sec")},
+        "cal_anchor_core_sec": anc[0],
+        "bw_anchor_core_sec": anc[1],
         "attempts": [
             {k: v for k, v in a.items() if k != "stages"} for a in attempts
         ],
@@ -459,24 +554,31 @@ def _write_scaling_run_md(report: dict, selected: dict, attempts: list[dict]) ->
         "protocol: identical flagship dedup pipeline (min-checkpoint mode,",
         "north-rule stages still materialize) over ONE shared deterministic",
         f"corpus of {report['n_clips']} clips ({SCALING_DUR[0]}-{SCALING_DUR[1]}s audio each),",
-        "one JVM per leg; every leg carries a fixed-work calibration probe",
-        f"and any leg whose normalized calibration exceeds {CAL_GUARD}x the",
+        "one JVM per leg; every leg carries TWO fixed-work probes — sha2",
+        "CPU calibration and a ~4 GB cached payload-scan bandwidth probe",
+        "(the two contention modes of a shared host move independently) —",
+        f"and any leg where either normalized probe exceeds {CAL_GUARD}x the",
         "session best is rejected as host-contended and re-run.",
         "",
-        "| cores | pipeline wall (s) | audio clips/sec | cal (core-sec, norm) | clean |",
-        "|---|---|---|---|---|",
+        "| cores | pipeline wall (s) | audio clips/sec | cal norm | bw norm | clean |",
+        "|---|---|---|---|---|---|",
     ]
     for c in (2, 8, 32):
         a = selected[c]
         lines.append(
             f"| local[{c}] | {round(a['t_sec'], 3)} | {a['clips_per_sec']} "
-            f"| {a['cal_norm']} | {'yes' if a['clean'] else 'NO - still contended'} |"
+            f"| {a['cal_norm']} | {a['bw_norm']} "
+            f"| {'yes' if a['clean'] else 'NO - still contended'} |"
         )
     lines += [
         "",
         f"**Scaling efficiency N=2 -> 4N=8: (T_2 / T_8) / 4 = {eff}"
         f"{' (>= 0.8: north rule MET)' if report['meets_north_rule'] else ' (< 0.8)'}**",
-        f"Pair legs clean by calibration guard: {report['pair_clean']}.",
+        f"Pair legs clean by probe guard: {report['pair_clean']}.",
+        f"The VM's OWN 2->8 probe efficiencies this session (same formula): "
+        f"CPU {report['vm_probe_eff_2_8']['cpu']}, cached-read bandwidth "
+        f"{report['vm_probe_eff_2_8']['bw']} — the ceiling the box itself "
+        f"imposes on any job whose inner loop is CPU or payload streaming.",
         "",
         f"8 -> 32 for reference: (T_8 / T_32) / 4 = {q['efficiency_8_to_32']}. On this",
         "single-socket 32-vCPU VM, per-core efficiency of payload-heavy",
@@ -488,15 +590,16 @@ def _write_scaling_run_md(report: dict, selected: dict, attempts: list[dict]) ->
         "",
         "Every attempt this session (rejected legs disclosed, not hidden):",
         "",
-        "| cores | wall (s) | cal_norm | verdict |",
-        "|---|---|---|---|",
+        "| cores | wall (s) | cal_norm | bw_norm | verdict |",
+        "|---|---|---|---|---|",
     ]
     for a in attempts:
         verdict = "accepted" if a.get("clean") else "rejected (contended)"
         if a.get("rejected_contended"):
             verdict = "rejected (contended), re-run"
         lines.append(
-            f"| {a['cores']} | {round(a['t_sec'], 3)} | {a['cal_norm']} | {verdict} |"
+            f"| {a['cores']} | {round(a['t_sec'], 3)} | {a['cal_norm']} "
+            f"| {a['bw_norm']} | {verdict} |"
         )
     lines += ["", "Full report JSON:", "```json", json.dumps(report), "```", ""]
     with open(os.path.join(REPO, "BENCH", "SCALING_RUN.md"), "w") as f:

@@ -51,6 +51,17 @@ class DedupConfig:
                                       # corpora with spliced/embedded audio)
     landmark_containment: float = 0.8
     landmark_min_shared: int = 4
+    offset_verify_mode: str = "exact"
+                                  # exact: array-intersect containment on
+                                  #   the full landmark arrays (right even
+                                  #   when shared landmarks hit the star
+                                  #   cap, but ships the arrays through
+                                  #   the pair join)
+                                  # count: containment from the candidate
+                                  #   join's co-occurrence count — the
+                                  #   scale form; bit-identical absent
+                                  #   star caps, never over-admits under
+                                  #   them, no array rides the shuffle
 
     # --- exact-dedup payload re-attach (operators/exact_dedup.py) ----
     exact_dedup_strategy: str = "auto"

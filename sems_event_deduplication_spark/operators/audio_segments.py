@@ -67,6 +67,50 @@ def verify_segment_overlap(
     )
 
 
+def verify_segment_overlap_counts(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    containment_threshold: float,
+) -> DataFrame:
+    """The scale form of ``verify_segment_overlap``: containment from
+    the candidate join's own co-occurrence count instead of an exact
+    array intersect.
+
+    Landmarks are DISTINCT per clip (``np.unique`` in
+    ``landmarks_from_mag``) and the inverted index maps each landmark
+    to its holders once, so for a pair whose shared landmarks all live
+    in uncapped buckets ``n_shared_bands`` (from ``lsh.candidate_pairs``)
+    IS ``|A ∩ B|`` — the count mode is then bit-identical to the exact
+    mode (property-tested). Shared landmarks in star-capped buckets are
+    not enumerated, so the count is a LOWER bound there: containment is
+    underestimated, which can only suppress pairs (false negatives,
+    surfaced by the pipeline's ``n_pairs_not_enumerated`` landmark
+    stats), never admit wrong ones.
+
+    Why it exists: the exact mode ships both clips' full landmark
+    arrays (~10³-10⁴ int64 each) through the pair join — at corpus
+    scale the arrays are the largest column after the payload itself,
+    and re-shuffling them per candidate pair is the offset tier's
+    dominant cost. This mode joins only ``(clip_id, n_landmarks)`` —
+    two narrow int joins, no array ever leaves the signature table.
+    """
+    counts = sigs.select("clip_id", F.size("landmarks").alias("n_lm"))
+    from .verify import attach_pair_sides
+
+    joined = attach_pair_sides(
+        pairs.select("id_a", "id_b", "n_shared_bands"), counts, ["n_lm"]
+    )
+    denom = F.least("n_lm_a", "n_lm_b")
+    return (
+        joined.withColumn(
+            "containment",
+            F.when(denom > 0, F.col("n_shared_bands") / denom).otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("containment") >= F.lit(containment_threshold))
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def landmark_inverted_index(sigs: DataFrame) -> DataFrame:
     """(clip_id, landmarks) -> the (landmark -> clip) inverted index in
     the banded shape lsh.candidate_pairs consumes."""
@@ -82,6 +126,7 @@ def audio_offset_pairs_from_sigs(
     containment_threshold: float = 0.8,
     min_shared_landmarks: int = 4,
     sized_inverted: DataFrame | None = None,
+    verify_mode: str = "exact",
 ) -> DataFrame:
     """Offset-audio dup pairs from an existing ``(clip_id, landmarks)``
     table (e.g. the pipeline's checkpointed signatures stage, which
@@ -100,6 +145,19 @@ def audio_offset_pairs_from_sigs(
     landmark_inverted_index(sigs))`` frame to share the index exchange
     with a ``lsh.bucket_stats`` observability pass (the pipeline does;
     stop-landmark recall loss must be visible, not inferred).
+
+    ``verify_mode`` (same selectable-strategy shape as
+    ``interval_merge_edges`` / ``stratified_cluster_split``):
+
+    - ``"exact"`` (default): array-intersect overlap on the full
+      landmark arrays — exact containment even for pairs whose shared
+      landmarks hit the star cap, at the cost of shipping the arrays
+      through the pair join.
+    - ``"count"``: the scale form — containment from the candidate
+      join's co-occurrence count + a narrow per-clip landmark count
+      (``verify_segment_overlap_counts``); bit-identical absent star
+      caps, lower-bound (never over-admitting) under them, and no
+      landmark array ever rides the pair shuffle.
     """
     inverted = (
         sized_inverted
@@ -109,6 +167,10 @@ def audio_offset_pairs_from_sigs(
     cands = lsh.candidate_pairs(inverted, cfg.max_bucket_size).filter(
         F.col("n_shared_bands") >= min_shared_landmarks
     )
+    if verify_mode == "count":
+        return verify_segment_overlap_counts(cands, sigs, containment_threshold)
+    if verify_mode != "exact":
+        raise ValueError(f"unknown offset verify_mode: {verify_mode!r}")
     return verify_segment_overlap(cands, sigs, containment_threshold)
 
 

@@ -423,7 +423,7 @@ class DedupPipeline:
                 sized_lm = lsh.size_buckets(landmark_inverted_index(sigs)).persist()
                 offset_pairs = audio_offset_pairs_from_sigs(
                     sigs, cfg, cfg.landmark_containment, cfg.landmark_min_shared,
-                    sized_inverted=sized_lm,
+                    sized_inverted=sized_lm, verify_mode=cfg.offset_verify_mode,
                 ).select(
                     "id_a", "id_b", F.lit(None).cast("double").alias("jaccard"),
                     F.lit("audio_offset").alias("kind"),

@@ -140,3 +140,62 @@ def test_pipeline_offset_tier_fused(spark, tmp_path):
     # sanity: the signatures table carried the landmarks column
     sigs = spark.read.parquet(str(tmp_path) + "/signatures")
     assert "landmarks" in sigs.columns
+
+
+def test_count_verify_mode_matches_exact(spark):
+    """verify_mode='count' (scale form: no landmark array rides the
+    pair join) must reproduce the exact mode bit-for-bit — same pair
+    set AND same containment values — when no landmark bucket hits the
+    star cap (landmarks are distinct per clip, so the candidate join's
+    co-occurrence count IS |A ∩ B|)."""
+    from sems_event_deduplication_spark.operators.audio_segments import (
+        audio_offset_pairs_from_sigs, audio_segment_signatures,
+    )
+
+    pdf, _ = _corpus_with_offsets(n_base=30, n_planted=6)
+    sigs = audio_segment_signatures(spark.createDataFrame(pdf), CFG).persist()
+    try:
+        def run(mode):
+            return {
+                (r["id_a"], r["id_b"]): round(r["containment"], 9)
+                for r in audio_offset_pairs_from_sigs(
+                    sigs, CFG, containment_threshold=0.5, verify_mode=mode
+                ).collect()
+            }
+
+        exact, count = run("exact"), run("count")
+        assert exact == count, (
+            set(exact.items()) ^ set(count.items())
+        )
+        assert exact, "fixture produced no pairs — parity test vacuous"
+        with pytest.raises(ValueError, match="verify_mode"):
+            run("nope")
+    finally:
+        sigs.unpersist()
+
+
+def test_count_verify_mode_never_over_admits_under_star_cap(spark):
+    """With max_bucket_size forced tiny (every landmark bucket
+    star-capped), the count mode's containment is a lower bound: its
+    pair set must be a subset of the exact mode's — degraded recall is
+    acceptable and measured, phantom pairs are not."""
+    from sems_event_deduplication_spark.conf import DedupConfig as DC
+    from sems_event_deduplication_spark.operators.audio_segments import (
+        audio_offset_pairs_from_sigs, audio_segment_signatures,
+    )
+
+    cfg = DC(max_bucket_size=2)
+    pdf, _ = _corpus_with_offsets(n_base=30, n_planted=6)
+    sigs = audio_segment_signatures(spark.createDataFrame(pdf), cfg).persist()
+    try:
+        def pairs(mode):
+            return {
+                (r["id_a"], r["id_b"])
+                for r in audio_offset_pairs_from_sigs(
+                    sigs, cfg, containment_threshold=0.5, verify_mode=mode
+                ).collect()
+            }
+
+        assert pairs("count") <= pairs("exact")
+    finally:
+        sigs.unpersist()
