@@ -100,12 +100,21 @@ def entry(spark: SparkSession) -> DataFrame:
     mh = make_minhash_udf(cfg.num_perm, cfg.seed)
     sigs = (
         docs.withColumn("shingles", char_shingles(F.col("transcript_norm"), cfg.shingle_k))
-        .withColumn("minhash_sig", mh(shingle_hashes(F.col("shingles"))))
+        .withColumn("shingle_hashes", shingle_hashes(F.col("shingles")))
+        .withColumn("minhash_sig", mh(F.col("shingle_hashes")))
         .withColumn("bands", band_hashes(F.col("minhash_sig"), cfg.bands, cfg.rows_per_band))
+        # verify runs on the int64 shingle hashes (the pipeline's own
+        # shape — plans/pipeline.py:397): Jaccard is identical modulo
+        # xxhash64 collisions (~2^-64/pair), and neither the persisted
+        # frame nor the two-side verify join carries the string arrays
+        .select("clip_id", "shingle_hashes", "minhash_sig", "bands")
     )
     sigs = sigs.persist()  # reused by candidates, both verify sides, assign
     cands = candidate_pairs(explode_bands(sigs, "clip_id", "bands"), cfg.max_bucket_size)
-    verified = verify_jaccard(cands, sigs, cfg.num_perm, cfg.jaccard_threshold, cfg.est_margin)
+    verified = verify_jaccard(
+        cands, sigs, cfg.num_perm, cfg.jaccard_threshold, cfg.est_margin,
+        shingles_col="shingle_hashes",
+    )
     comp = connected_components(verified, "id_a", "id_b", cfg.cc_max_iterations)
     clustered = assign_components(sigs.select("clip_id"), comp)
     return clustered.groupBy("component").agg(

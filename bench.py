@@ -56,7 +56,12 @@ def _sf_label(path: str) -> float:
         return -1.0
 
 
-def run_text_dedup(spark, sf_dir: str, cores: int) -> int:
+def run_text_dedup(spark, sf_dir: str, cores: int, limit: int | None = None) -> int:
+    """``limit``: cap the document count — used by the untimed warmup
+    pass (same code path, tiny input) so the timed leg measures
+    steady-state throughput, not first-query JVM/codegen/Arrow-worker
+    startup (the same untimed-setup policy ``run_audio_dedup``
+    documents)."""
     from pyspark.sql import functions as F
 
     from sems_event_deduplication_spark.conf import DedupConfig
@@ -75,8 +80,11 @@ def run_text_dedup(spark, sf_dir: str, cores: int) -> int:
     from sems_event_deduplication_spark.operators.verify import verify_jaccard
 
     cfg = DedupConfig(jaccard_threshold=0.5)
+    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if limit is not None:
+        raw = raw.limit(limit)
     docs = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        raw
         # single-file table reads back as one split; spread the UDF work
         .repartition(cores * 2)
         .select(
@@ -87,15 +95,23 @@ def run_text_dedup(spark, sf_dir: str, cores: int) -> int:
     mh = make_minhash_udf(cfg.num_perm, cfg.seed)
     sigs = (
         docs.withColumn("shingles", char_shingles(F.col("transcript_norm"), cfg.shingle_k))
-        .withColumn("minhash_sig", mh(shingle_hashes(F.col("shingles"))))
+        .withColumn("shingle_hashes", shingle_hashes(F.col("shingles")))
+        .withColumn("minhash_sig", mh(F.col("shingle_hashes")))
         .withColumn("bands", band_hashes(F.col("minhash_sig"), cfg.bands, cfg.rows_per_band))
+        # verify on the int64 shingle hashes (the pipeline's own shape):
+        # same Jaccard modulo xxhash64 collisions, and neither the
+        # persist nor the two-side verify join carries the string arrays
+        .select("clip_id", "shingle_hashes", "minhash_sig", "bands")
     )
     # signatures are reused by candidates + both verify sides + assign:
     # persist once (the pipeline proper uses a durable checkpoint here)
     sigs = sigs.persist()
     try:
         cands = candidate_pairs(explode_bands(sigs, "clip_id", "bands"), cfg.max_bucket_size)
-        verified = verify_jaccard(cands, sigs, cfg.num_perm, cfg.jaccard_threshold, cfg.est_margin)
+        verified = verify_jaccard(
+            cands, sigs, cfg.num_perm, cfg.jaccard_threshold, cfg.est_margin,
+            shingles_col="shingle_hashes",
+        )
         comp = connected_components(
             verified, "id_a", "id_b", cfg.cc_max_iterations,
             local_threshold=cfg.cc_local_edges,
@@ -323,6 +339,12 @@ def bench_once(
     queries: dict[str, float] = {}
 
     if include_text:
+        # untimed warmup: same code path over 200 docs pays the
+        # first-query JVM/codegen/Arrow-worker startup (~10 s, constant
+        # regardless of data size) so the timed leg measures
+        # steady-state throughput — the policy run_audio_dedup already
+        # applies to its own setup
+        run_text_dedup(spark, sf_dir, cores, limit=200)
         t0 = time.monotonic()
         run_text_dedup(spark, sf_dir, cores)
         queries["text_dedup_e2e"] = round(time.monotonic() - t0, 3)
