@@ -193,6 +193,20 @@ class DedupConfig:
                 f"bands*rows_per_band must equal num_perm "
                 f"({self.bands}*{self.rows_per_band} != {self.num_perm})"
             )
+        # fail at construction, not after the pipeline has already
+        # committed its most expensive stage: the offset tier consumes
+        # this only AFTER the full fused payload scan + signatures
+        # checkpoint have materialized
+        if self.offset_verify_mode not in ("exact", "count"):
+            raise ValueError(
+                f"offset_verify_mode must be 'exact' or 'count', "
+                f"got {self.offset_verify_mode!r}"
+            )
+        if self.exact_digest_algo not in ("xxh128", "sha256"):
+            raise ValueError(
+                f"exact_digest_algo must be 'xxh128' or 'sha256', "
+                f"got {self.exact_digest_algo!r}"
+            )
 
 
 DEFAULT = DedupConfig()

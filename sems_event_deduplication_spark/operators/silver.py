@@ -132,17 +132,26 @@ def stratified_cluster_split(
       beyond.
     - ``"hash"``: the scale form — each cluster's split is a pure
       threshold test on its own hash mapped to [0, 1) (the
-      ``deterministic_split`` contract query's device). No window, no
-      per-stratum sort, embarrassingly parallel at any cluster count;
-      fractions are approximate (binomial concentration: at 10^6+
-      clusters per stratum the realized fractions are within ~0.1% of
-      the targets). Per-bucket stratification holds automatically
-      because the hash is i.i.d. uniform across clusters of every
-      bucket.
+      ``deterministic_split`` contract query's device). A plain
+      per-row projection: no window, no per-stratum sort, no join, no
+      shuffle, no extra job AT ALL — the split is a function of
+      nothing but the row's own cluster key, so attaching it needs no
+      cluster table (an earlier form materialized distinct clusters
+      and joined them back; that distinct shuffle + eager count were
+      strictly wasted work). Clusters stay whole automatically (every
+      member row hashes the same key to the same split). Fractions are
+      approximate (binomial concentration: at 10^6+ clusters per
+      stratum the realized fractions are within ~0.1% of the targets);
+      per-bucket stratification holds because the hash is i.i.d.
+      uniform across clusters of every bucket.
 
-    NB both strategies call ``gated_broadcast`` on the one-row-per-
-    cluster assignment, which runs one eager count job at operator-
-    construction time (see ``strategies.gated_broadcast``)."""
+    NB the "exact" strategy calls ``gated_broadcast`` on the one-row-
+    per-cluster assignment, which runs one eager count job at operator-
+    construction time (see ``strategies.gated_broadcast``); "hash"
+    runs no job. Both drop rows with a NULL cluster key ("exact" via
+    its join's null-never-equal semantics, "hash" via an explicit
+    filter — kept identical so switching strategy never changes the
+    row universe)."""
     t, v, _ = weights
     if strategy == "hash":
         # map the 64-bit hash to u ~ U[0,1): sign bit folds in via +0.5
@@ -151,12 +160,10 @@ def stratified_cluster_split(
             / F.lit(float(1 << 64))
             + F.lit(0.5)
         )
-        assigned = members.select(cluster_col).distinct().select(
-            cluster_col,
-            F.when(u < t, "train").when(u < t + v, "val").otherwise("test")
-            .alias("split"),
+        return members.filter(F.col(cluster_col).isNotNull()).withColumn(
+            "split",
+            F.when(u < t, "train").when(u < t + v, "val").otherwise("test"),
         )
-        return members.join(gated_broadcast(assigned), cluster_col)
     if strategy != "exact":
         raise ValueError(f"unknown stratified-split strategy: {strategy!r}")
     sizes = members.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("n"))

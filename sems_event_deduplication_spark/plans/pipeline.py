@@ -41,18 +41,20 @@ def _estimated_scan_partitions(df: DataFrame, max_partition_bytes: int = 64 << 2
     ``df.rdd.getNumPartitions()`` compiled the non-AQE plan and forced
     an RDD conversion; the ``os.path.getsize``-per-file loop that
     replaced it was a Python stat loop over (potentially millions of)
-    files and local-FS-only. Instead: ONE Hadoop
-    ``getContentSummary`` RPC per distinct parent directory of the
-    scan's input files — total bytes + file count in a single call,
-    uniform across local, hdfs:// and s3a:// URIs. Splittable parquet
-    yields ~``ceil(total_bytes/maxPartitionBytes)`` tasks (session.py
-    pins maxPartitionBytes=64m), floored at one task per file; the
-    per-directory summary vs per-file ceil differs by at most the
-    per-file fractional remainders (and counts 0-byte ``_SUCCESS``
-    markers toward the file floor), which cannot flip the only decision
-    this feeds — "is the scan spread over at least ``cores`` tasks".
-    Non-file DataFrames (createDataFrame, memory streams) report
-    ``defaultParallelism`` — already well spread, no repartition wanted.
+    files and local-FS-only. Instead: ONE Hadoop ``listStatus`` RPC per
+    distinct parent directory of the scan's input files, summing the
+    sizes of EXACTLY the input files (non-input siblings, nested
+    ``_temporary`` trees and 0-byte ``_SUCCESS`` markers are filtered
+    out — a ``getContentSummary`` variant counted them, recursively,
+    and an inflated estimate silently skips the spread-the-payload
+    repartition this feeds). The scan planner has already listed these
+    same directories to produce ``inputFiles()``, so the RPCs hit
+    warm metadata; local, hdfs:// and s3a:// URIs go through the same
+    FileSystem API. Splittable parquet yields
+    ``sum(max(1, ceil(size/maxPartitionBytes)))`` tasks (session.py
+    pins maxPartitionBytes=64m). Non-file DataFrames (createDataFrame,
+    memory streams) report ``defaultParallelism`` — already well
+    spread, no repartition wanted.
     """
     try:
         files = df.inputFiles()
@@ -63,24 +65,27 @@ def _estimated_scan_partitions(df: DataFrame, max_partition_bytes: int = 64 << 2
     sc = df.sparkSession.sparkContext
     jvm = sc._jvm
     hconf = sc._jsc.hadoopConfiguration()
-    parents: set[str] = set()
+    parents: dict[str, set[str]] = {}
     for f in files:
-        parent = jvm.org.apache.hadoop.fs.Path(f).getParent()
-        parents.add(str(parent) if parent is not None else f)
-    total_bytes = 0
-    n_files = 0
-    for parent in sorted(parents):
+        jp = jvm.org.apache.hadoop.fs.Path(f)
+        parent = jp.getParent()
+        parents.setdefault(str(parent) if parent is not None else f, set()).add(
+            jp.getName()
+        )
+    n = 0
+    for parent, names in sorted(parents.items()):
         p = jvm.org.apache.hadoop.fs.Path(parent)
         try:
-            cs = p.getFileSystem(hconf).getContentSummary(p)
-            total_bytes += cs.getLength()
-            n_files += cs.getFileCount()
+            for st in p.getFileSystem(hconf).listStatus(p):
+                if st.isFile() and st.getPath().getName() in names:
+                    size = st.getLen()
+                    n += max(1, -(-size // max_partition_bytes))
         except Exception:
             # an unreadable/just-deleted directory: assume adequately
             # partitioned rather than triggering the payload-shuffling
             # repartition this heuristic exists to avoid
             return sc.defaultParallelism * 4
-    return max(n_files, -(-total_bytes // max_partition_bytes))
+    return max(1, n)
 
 
 @dataclass

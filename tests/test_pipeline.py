@@ -6,6 +6,7 @@ payload invariants, permutation invariance, resume idempotence.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
@@ -283,10 +284,14 @@ def test_degenerate_corpora(spark):
 
 
 def test_estimated_scan_partitions_hadoop_summary(spark, tmp_path):
-    """The scan-task estimate derives from ONE getContentSummary RPC
-    per directory (no per-file Python stat loop): file-count floor for
-    many small files, byte-driven count for one big file, and
-    defaultParallelism for non-file frames."""
+    """The scan-task estimate derives from one listStatus RPC per
+    directory, summing EXACTLY the scan's input files (no per-file
+    Python stat loop, no recursive directory totals): exact file count
+    for many small files (_SUCCESS filtered out), byte-driven count for
+    one big file, defaultParallelism for non-file frames — and
+    crucially, non-input siblings in the same directory must NOT
+    inflate the estimate (an inflated estimate silently skips the
+    spread-the-payload repartition)."""
     from pyspark.sql import functions as F
 
     from sems_event_deduplication_spark.plans.pipeline import (
@@ -296,9 +301,9 @@ def test_estimated_scan_partitions_hadoop_summary(spark, tmp_path):
     many = str(tmp_path / "many")
     spark.range(0, 1000).repartition(12).write.parquet(many)
     df_many = spark.read.parquet(many)
-    est = _estimated_scan_partitions(df_many)
-    # 12 tiny files (+ a zero-byte _SUCCESS marker in the file count)
-    assert 12 <= est <= 13, est
+    # exactly 12 tiny files; the zero-byte _SUCCESS marker and any
+    # non-input sibling must not count
+    assert _estimated_scan_partitions(df_many) == 12
 
     big = str(tmp_path / "big")
     spark.range(0, 100_000).select(
@@ -314,11 +319,31 @@ def test_estimated_scan_partitions_hadoop_summary(spark, tmp_path):
     est_big = _estimated_scan_partitions(df_big, max_partition_bytes=1 << 20)
     assert est_big >= 3, est_big
 
+    # sibling-inflation guard: scan ONE file out of the 12-file
+    # directory — the estimate must reflect that one tiny file, not the
+    # directory's recursive total
+    one_file = next(
+        f for f in sorted(os.listdir(many)) if f.endswith(".parquet")
+    )
+    df_one = spark.read.parquet(os.path.join(many, one_file))
+    assert _estimated_scan_partitions(df_one) == 1
+
     mem = spark.range(10).toDF("id")
     assert (
         _estimated_scan_partitions(mem)
         == spark.sparkContext.defaultParallelism
     )
+
+
+def test_config_validates_enums_at_construction():
+    """A typo'd strategy string must fail when DedupConfig is built —
+    not hours later when the offset tier (consumed only after the full
+    payload scan + signatures checkpoint) first reads it."""
+    with pytest.raises(ValueError, match="offset_verify_mode"):
+        DedupConfig(offset_verify_mode="counts")
+    with pytest.raises(ValueError, match="exact_digest_algo"):
+        DedupConfig(exact_digest_algo="md5")
+    DedupConfig(offset_verify_mode="count", exact_digest_algo="sha256")
 
 
 def test_offset_dups_recovered_via_landmark_tier(spark):

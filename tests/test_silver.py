@@ -194,6 +194,12 @@ def test_stratified_split_hash_strategy(spark):
     out = stratified_cluster_split(df, weights=(0.8, 0.1, 0.1), seed=420, strategy="hash")
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "windowspecdefinition" not in plan, "hash strategy must not sort strata"
+    # the split is a pure per-row function of the cluster key: a plain
+    # projection, so the plan must carry no join (an earlier form
+    # materialized distinct clusters + joined them back) and no
+    # aggregate — zero shuffles, zero eager jobs
+    assert "Join" not in plan, plan
+    assert "Aggregate" not in plan, plan
     per_cluster = (
         out.groupBy("merged_component")
         .agg(F.count_distinct("split").alias("n_splits"))
