@@ -14,9 +14,24 @@ Chain (all inside one Arrow batch UDF, numpy only — no scipy/librosa):
           fingerprint vector (amplitude-invariant)
           --fixed-seed Gaussian projection, sign--> 64-bit SimHash
 
-Supported codecs: ``pcm_s16le``, ``pcm_f32le`` (numpy-decodable, per
-FIXTURES.md §1). Anything else raises — the container has no codec
-libs; the plumbing (schema, batching, signature width) is real.
+Supported codecs: ``pcm_s16le``, ``pcm_f32le`` (raw numpy views) and
+ITU-T G.711 ``pcm_mulaw`` / ``pcm_alaw`` (8-bit logarithmic
+companding, decoded via 256-entry tables built from the public-domain
+reference expansion — one vectorized lookup per payload). Anything
+else (mp3/aac/opus/...) raises — the container has no codec libs; the
+plumbing (schema, batching, signature width) is real.
+
+KNOWN LIMITATION (measured, by design): the clip-level SimHash is NOT
+robust to G.711 transcoding of spectrally sparse audio. Companding's
+quantization floor (~-38 dB relative) sits far above the
+fingerprint's -60 dB band flatten, so on synthetic tone corpora it
+rewrites the near-empty bands' log-energy diffs — measured up to
+26/128 flipped bits on a pure re-encode, vs <= 1 bit for 16-bit
+requantization at >= 35 dB SNR. Cross-codec G.711 dup pairs are
+therefore carried by the text tier (transcript Jaccard), not the
+audio tier; same-codec audio dedup is unaffected. Broadband real
+audio (speech/music fills bands above the companding floor) degrades
+far less, but the engine makes no cross-codec audio-tier claim.
 """
 
 from __future__ import annotations
@@ -27,7 +42,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-SUPPORTED_CODECS = ("pcm_s16le", "pcm_f32le")
+SUPPORTED_CODECS = ("pcm_s16le", "pcm_f32le", "pcm_mulaw", "pcm_alaw")
 
 _HANN_CACHE: dict[int, np.ndarray] = {}
 
@@ -40,12 +55,71 @@ def _hann(frame: int) -> np.ndarray:
     return w
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry byte -> int16 decode tables for ITU-T G.711 mu-law and
+    A-law (the telephony codecs; 8-bit logarithmic companding). Pure
+    integer arithmetic per the public-domain reference implementation
+    (Sun Microsystems g711.c segment/mantissa expansion) — no codec
+    library needed, so these two formats move OUT of the honest
+    "cannot decode in this container" gap. Built once, vectorized
+    decode is a single table lookup over the payload bytes."""
+    u = np.arange(256, dtype=np.int32)
+
+    # mu-law: complement, then expand exponent/mantissa around BIAS=0x84
+    uc = (~u) & 0xFF
+    t = (((uc & 0x0F) << 3) + 0x84) << ((uc & 0x70) >> 4)
+    mulaw = np.where((uc & 0x80) != 0, 0x84 - t, t - 0x84).astype(np.int16)
+
+    # A-law: XOR 0x55, segment 0 is linear, higher segments shift
+    a = u ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)))
+    alaw = np.where((a & 0x80) != 0, t, -t).astype(np.int16)
+    return mulaw, alaw
+
+
+_MULAW_TABLE, _ALAW_TABLE = _g711_tables()
+
+
+def _nearest_codeword_encoder(table: np.ndarray):
+    """Encoder = nearest-decoded-value search against the 256-entry
+    decode table (sorted once; one vectorized searchsorted per call).
+    Definitionally optimal quantization — round-trip error is bounded
+    by half the local G.711 step — and immune to the segment-boundary
+    edge cases hand-written bit-twiddling encoders get wrong."""
+    order = np.argsort(table, kind="stable")
+    decoded_sorted = table[order].astype(np.int32)
+
+    def encode(pcm: np.ndarray) -> bytes:
+        x = np.clip(
+            np.round(np.asarray(pcm, dtype=np.float64) * 32768.0), -32768, 32767
+        ).astype(np.int32)
+        pos = np.searchsorted(decoded_sorted, x)
+        lo = np.clip(pos - 1, 0, 255)
+        hi = np.clip(pos, 0, 255)
+        pick = np.where(
+            np.abs(decoded_sorted[hi] - x) < np.abs(x - decoded_sorted[lo]), hi, lo
+        )
+        return order[pick].astype(np.uint8).tobytes()
+
+    return encode
+
+
+encode_mulaw = _nearest_codeword_encoder(_MULAW_TABLE)
+encode_alaw = _nearest_codeword_encoder(_ALAW_TABLE)
+
+
 def decode_pcm(buf: bytes, codec: str) -> np.ndarray:
     """Decode an encoded payload to float32 PCM in [-1, 1]."""
     if codec == "pcm_s16le":
         return np.frombuffer(buf, dtype="<i2").astype(np.float32) / 32768.0
     if codec == "pcm_f32le":
         return np.frombuffer(buf, dtype="<f4").astype(np.float32)
+    if codec == "pcm_mulaw":
+        return _MULAW_TABLE[np.frombuffer(buf, dtype=np.uint8)].astype(np.float32) / 32768.0
+    if codec == "pcm_alaw":
+        return _ALAW_TABLE[np.frombuffer(buf, dtype=np.uint8)].astype(np.float32) / 32768.0
     raise NotImplementedError(
         f"codec {codec!r} not decodable with numpy alone (supported: {SUPPORTED_CODECS})"
     )

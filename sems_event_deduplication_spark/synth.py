@@ -62,6 +62,14 @@ def _encode(pcm: np.ndarray, codec: str) -> bytes:
         return (np.clip(pcm, -1, 1) * 32767.0).astype("<i2").tobytes()
     if codec == "pcm_f32le":
         return pcm.astype("<f4").tobytes()
+    if codec == "pcm_mulaw":
+        from .functions.audio import encode_mulaw
+
+        return encode_mulaw(pcm)
+    if codec == "pcm_alaw":
+        from .functions.audio import encode_alaw
+
+        return encode_alaw(pcm)
     raise ValueError(codec)
 
 
@@ -172,7 +180,8 @@ def make_corpus(spark: SparkSession, n_base: int = 500, seed: int = 42) -> DataF
 
 
 def _group_rows(
-    gid: int, seed: int, dur_lo: float, dur_hi: float, p_offset: float = 0.0
+    gid: int, seed: int, dur_lo: float, dur_hi: float, p_offset: float = 0.0,
+    p_g711: float = 0.0,
 ) -> list[dict]:
     """All rows for one base clip (base + 0-1 planted dup), generated
     from an rng keyed by (seed, gid) only — deterministic regardless of
@@ -185,7 +194,18 @@ def _group_rows(
     global spectrum), detectable only by the landmark offset tier
     (operators/audio_segments.py). The branch extends the SAME uniform
     draw the other dup kinds consume, so ``p_offset=0`` (the default)
-    leaves every existing corpus bit-identical."""
+    leaves every existing corpus bit-identical.
+
+    ``p_g711`` > 0 adds a telephony-transcode dup kind: the base
+    clip's audio and transcript unchanged, payload re-encoded as
+    ITU-T G.711 (pcm_mulaw / pcm_alaw — decoded by the engine with
+    pure numpy tables). The text tier carries the pair (identical
+    transcript); the audio tier decodes the companded payload
+    end-to-end but its clip-level SimHash is NOT relied on for the
+    match (companding rewrites quiet bands of sparse synthetic
+    spectra — limitation documented in functions/audio.py). The
+    branch extends the same uniform draw as the other kinds, so the
+    default 0.0 leaves every existing corpus bit-identical."""
     rng = np.random.default_rng([seed, gid])
     rows: list[dict] = []
     base_date = np.datetime64("2023-05-01")
@@ -235,6 +255,18 @@ def _group_rows(
         jitter = _add_noise(pcm * rng.uniform(0.6, 1.2), rng, snr_db=float(rng.uniform(34, 45)))
         codec2 = "pcm_f32le" if rng.uniform() < 0.5 else codec
         add(jitter, sr, codec2, _transcript(rng, tag=f"{gid}b"), date, "nearaud")
+    elif r < 0.35 + p_g711:
+        # telephony transcode dup: IDENTICAL audio + transcript,
+        # payload re-encoded as G.711 (mu-law/A-law). The clip-level
+        # SimHash does NOT reliably pair these on this corpus —
+        # companding's ~-38 dB noise floor rewrites the near-empty
+        # bands of spectrally sparse synthetic audio (measured: up to
+        # 26/128 bits flip on pure re-encode) — so the TEXT tier is
+        # what carries the pair (transcript Jaccard 1.0), while the
+        # signatures stage still decodes the G.711 payload end-to-end.
+        # See functions/audio.py for the documented limitation.
+        codec_g = "pcm_mulaw" if rng.uniform() < 0.5 else "pcm_alaw"
+        add(pcm, sr, codec_g, text, date, "g711")
     elif r < 0.35 + p_offset:
         # embedded/offset dup: base audio spliced between two unrelated
         # pads (~0.4-0.8x the clip each), new transcript — only the
@@ -257,6 +289,7 @@ def make_corpus_dist(
     dur_hi: float = 0.9,
     partitions: int | None = None,
     p_offset: float = 0.0,
+    p_g711: float = 0.0,
 ) -> DataFrame:
     """Distributed deterministic corpus — same planted-dup mix as
     ``make_corpus`` but generated executor-side with ``mapInPandas``
@@ -276,7 +309,9 @@ def make_corpus_dist(
         buf: list[dict] = []
         for pdf in batches:
             for gid in pdf["id"].tolist():
-                buf.extend(_group_rows(int(gid), seed, dur_lo, dur_hi, p_offset))
+                buf.extend(
+                    _group_rows(int(gid), seed, dur_lo, dur_hi, p_offset, p_g711)
+                )
                 if len(buf) >= chunk:
                     yield pd.DataFrame(buf, columns=cols)
                     buf = []

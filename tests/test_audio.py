@@ -38,6 +38,46 @@ def test_decode_roundtrip_f32le():
     assert snr_db(pcm, back) > 120
 
 
+def test_g711_decode_tables_reference_values():
+    """The mu-law/A-law decode tables must match ITU-T G.711 per the
+    public-domain reference expansion: canonical silence bytes, the
+    +-0 pair, and the segment-7 extremes."""
+    from sems_event_deduplication_spark.functions.audio import (
+        _ALAW_TABLE, _MULAW_TABLE,
+    )
+
+    assert _MULAW_TABLE[0xFF] == 0 and _MULAW_TABLE[0x7F] == 0
+    assert _MULAW_TABLE[0x00] == -32124 and _MULAW_TABLE[0x80] == 32124
+    assert _ALAW_TABLE[0x55] == -8 and _ALAW_TABLE[0xD5] == 8
+    assert int(_ALAW_TABLE.max()) == 32256 and int(_ALAW_TABLE.min()) == -32256
+    # companding is symmetric: every decoded magnitude appears with
+    # both signs
+    for tab in (_MULAW_TABLE, _ALAW_TABLE):
+        assert set(map(int, tab)) == {-int(v) for v in tab}
+
+
+def test_g711_roundtrip_snr_and_idempotence():
+    """G.711 companding at speech levels round-trips above the 30 dB
+    pipeline invariant (~38 dB), and codewords are fixed points:
+    decode -> encode -> decode is bit-identical (the nearest-codeword
+    encoder maps every decoded value back to its own byte)."""
+    pcm = _tone(_rng(), 8000, 0.4, n_partials=6) * 0.5
+    for codec in ("pcm_mulaw", "pcm_alaw"):
+        buf = _encode(pcm, codec)
+        assert len(buf) == len(pcm)  # 8 bits/sample
+        back = decode_pcm(buf, codec)
+        assert snr_db(pcm, back) > 30, codec
+        again = decode_pcm(_encode(back, codec), codec)
+        assert np.array_equal(back, again), codec
+
+
+def test_unsupported_codec_still_raises():
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="mp3"):
+        decode_pcm(b"\x00\x01", "mp3")
+
+
 def test_snr_db_basics():
     sig = _tone(_rng(), 8000, 0.2)
     assert snr_db(sig, sig) == float("inf")

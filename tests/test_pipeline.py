@@ -346,6 +346,41 @@ def test_config_validates_enums_at_construction():
     DedupConfig(offset_verify_mode="count", exact_digest_algo="sha256")
 
 
+def test_g711_transcode_dups_cluster_via_text_tier(spark):
+    """p_g711 plants telephony-transcode dups: same audio + transcript,
+    payload re-encoded as G.711 (decoded by the pure-numpy tables).
+    The pair must cluster with its base — carried by the TEXT tier
+    (transcript Jaccard 1.0), because the clip-level SimHash is
+    documentedly unreliable across companding on sparse synthetic
+    spectra. The run exercises G.711 decode end-to-end (the signatures
+    stage decodes every payload), and must stay oracle-exact over the
+    whole mixed corpus."""
+    from sems_event_deduplication_spark.synth import make_corpus_dist
+
+    clips = make_corpus_dist(
+        spark, n_base=80, seed=7, dur_lo=0.4, dur_hi=0.9, p_g711=0.5
+    ).localCheckpoint()
+    pdf = clips.toPandas()
+    g711 = pdf[pdf["codec"].isin(["pcm_mulaw", "pcm_alaw"])]
+    assert len(g711) >= 3, "fixture planted too few G.711 dups"
+    assert set(g711["clip_id"].str.endswith("_g711")) == {True}
+
+    wh = WarehouseIO(spark, tempfile.mkdtemp(prefix="wh_g711_"))
+    res = DedupPipeline(spark, DedupConfig(), wh).run(clips, with_audio=True)
+    pred = {
+        m: r["component"]
+        for r in res.clusters.collect()
+        for m in r["member_ids"]
+    }
+    for cid in g711["clip_id"]:
+        base = cid.replace("_g711", "_base")
+        assert pred[cid] == pred[base], (cid, base)
+    oracle = oracle_components(pdf, DedupConfig(), with_audio=True)
+    op, pp = intra_pairs(oracle), intra_pairs(pred)
+    assert op and len(op & pp) / len(op) >= 0.99
+    assert len(op & pp) / len(pp) >= 0.90
+
+
 def test_offset_dups_recovered_via_landmark_tier(spark):
     """synth p_offset > 0 plants embedded clips (base audio inside a
     longer host, unrelated transcript + pads) that ONLY the landmark
