@@ -14,12 +14,14 @@ Chain (all inside one Arrow batch UDF, numpy only — no scipy/librosa):
           fingerprint vector (amplitude-invariant)
           --fixed-seed Gaussian projection, sign--> 64-bit SimHash
 
-Supported codecs: ``pcm_s16le``, ``pcm_f32le`` (raw numpy views) and
+Supported codecs: ``pcm_s16le``, ``pcm_f32le`` (raw numpy views),
 ITU-T G.711 ``pcm_mulaw`` / ``pcm_alaw`` (8-bit logarithmic
 companding, decoded via 256-entry tables built from the public-domain
-reference expansion — one vectorized lookup per payload). Anything
-else (mp3/aac/opus/...) raises — the container has no codec libs; the
-plumbing (schema, batching, signature width) is real.
+reference expansion — one vectorized lookup per payload), and ``wav``
+(RIFF/WAVE container walk: PCM 8/16/32-bit, float32, A-law, mu-law at
+any channel count, average-downmixed to mono). Anything else
+(mp3/aac/opus/ADPCM/...) raises — the container has no codec libs;
+the plumbing (schema, batching, signature width) is real.
 
 KNOWN LIMITATION (measured, by design): the clip-level SimHash is NOT
 robust to G.711 transcoding of spectrally sparse audio. Companding's
@@ -42,7 +44,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-SUPPORTED_CODECS = ("pcm_s16le", "pcm_f32le", "pcm_mulaw", "pcm_alaw")
+SUPPORTED_CODECS = ("pcm_s16le", "pcm_f32le", "pcm_mulaw", "pcm_alaw", "wav")
 
 _HANN_CACHE: dict[int, np.ndarray] = {}
 
@@ -110,6 +112,54 @@ encode_mulaw = _nearest_codeword_encoder(_MULAW_TABLE)
 encode_alaw = _nearest_codeword_encoder(_ALAW_TABLE)
 
 
+def _decode_wav(buf: bytes) -> np.ndarray:
+    """RIFF/WAVE container -> float32 mono PCM in [-1, 1].
+
+    Pure struct parsing (chunk walk; no audio library): supports the
+    formats this module can decode raw — PCM 8/16/32-bit int
+    (format 1), IEEE float32 (format 3), A-law (format 6), mu-law
+    (format 7) — at any channel count (channels average-downmix to
+    mono, the standard reduction for fingerprinting). Anything else
+    (WAVE_FORMAT_EXTENSIBLE compressed payloads, ADPCM, ...) raises
+    NotImplementedError like every other unsupported codec."""
+    import struct
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, size = buf[pos:pos + 4], struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+        body = buf[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE payload missing fmt/data chunk")
+    audio_format, n_ch, _sr, _br, _ba, bits = fmt
+    if audio_format == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif audio_format == 1 and bits == 8:  # 8-bit WAV PCM is unsigned
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif audio_format == 1 and bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif audio_format == 3 and bits == 32:
+        x = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    elif audio_format == 6 and bits == 8:
+        x = _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)].astype(np.float32) / 32768.0
+    elif audio_format == 7 and bits == 8:
+        x = _MULAW_TABLE[np.frombuffer(data, dtype=np.uint8)].astype(np.float32) / 32768.0
+    else:
+        raise NotImplementedError(
+            f"WAVE format {audio_format} at {bits} bits not decodable with "
+            f"numpy alone"
+        )
+    if n_ch > 1:
+        x = x[: (len(x) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x.astype(np.float32)
+
+
 def decode_pcm(buf: bytes, codec: str) -> np.ndarray:
     """Decode an encoded payload to float32 PCM in [-1, 1]."""
     if codec == "pcm_s16le":
@@ -120,6 +170,8 @@ def decode_pcm(buf: bytes, codec: str) -> np.ndarray:
         return _MULAW_TABLE[np.frombuffer(buf, dtype=np.uint8)].astype(np.float32) / 32768.0
     if codec == "pcm_alaw":
         return _ALAW_TABLE[np.frombuffer(buf, dtype=np.uint8)].astype(np.float32) / 32768.0
+    if codec == "wav":
+        return _decode_wav(bytes(buf))
     raise NotImplementedError(
         f"codec {codec!r} not decodable with numpy alone (supported: {SUPPORTED_CODECS})"
     )

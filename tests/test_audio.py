@@ -78,6 +78,56 @@ def test_unsupported_codec_still_raises():
         decode_pcm(b"\x00\x01", "mp3")
 
 
+def _wav_bytes(data: bytes, audio_format: int, n_ch: int, bits: int,
+               sr: int = 8000, junk_chunk: bool = True) -> bytes:
+    """Minimal RIFF/WAVE writer for tests (fmt + optional LIST junk +
+    data, word-aligned)."""
+    import struct
+
+    block = n_ch * bits // 8
+    fmt = struct.pack("<HHIIHH", audio_format, n_ch, sr, sr * block, block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if junk_chunk:  # parsers must WALK chunks, not assume data at 36
+        chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_container_decode():
+    """codec='wav': the RIFF chunk walk must decode every raw format
+    this module supports, average-downmix multi-channel, skip junk
+    chunks, and fail loudly on compressed formats / non-RIFF bytes."""
+    import pytest
+
+    pcm = _tone(_rng(), 8000, 0.25)
+    i16 = _encode(pcm, "pcm_s16le")
+
+    # 16-bit mono == raw s16le decode, bit for bit
+    mono = decode_pcm(_wav_bytes(i16, 1, 1, 16), "wav")
+    assert np.array_equal(mono, decode_pcm(i16, "pcm_s16le"))
+
+    # stereo (L == R) downmixes to the same mono signal
+    st = np.repeat(np.frombuffer(i16, dtype="<i2"), 2).astype("<i2").tobytes()
+    stereo = decode_pcm(_wav_bytes(st, 1, 2, 16), "wav")
+    assert snr_db(mono, stereo) > 60
+
+    # float32 and G.711 payloads inside the container
+    f32 = decode_pcm(_wav_bytes(_encode(pcm, "pcm_f32le"), 3, 1, 32), "wav")
+    assert snr_db(pcm, f32) > 120
+    ul = decode_pcm(_wav_bytes(_encode(pcm, "pcm_mulaw"), 7, 1, 8), "wav")
+    assert snr_db(pcm, ul) > 30
+
+    # 8-bit unsigned PCM
+    u8 = ((np.clip(pcm, -1, 1) * 127.0) + 128).astype(np.uint8).tobytes()
+    dec8 = decode_pcm(_wav_bytes(u8, 1, 1, 8), "wav")
+    assert snr_db(pcm, dec8) > 25  # 8-bit quantization floor
+
+    with pytest.raises(NotImplementedError, match="WAVE format"):
+        decode_pcm(_wav_bytes(i16, 2, 1, 4), "wav")  # ADPCM
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_pcm(b"\x00" * 64, "wav")
+
+
 def test_snr_db_basics():
     sig = _tone(_rng(), 8000, 0.2)
     assert snr_db(sig, sig) == float("inf")
