@@ -121,7 +121,17 @@ def _decode_wav(buf: bytes) -> np.ndarray:
     (format 7) — at any channel count (channels average-downmix to
     mono, the standard reduction for fingerprinting). Anything else
     (WAVE_FORMAT_EXTENSIBLE compressed payloads, ADPCM, ...) raises
-    NotImplementedError like every other unsupported codec."""
+    NotImplementedError like every other unsupported codec.
+
+    NB the header's sample rate is NOT validated against the row's
+    ``sr_hz`` column here (the decode API is (bytes, codec) — it never
+    sees the column). The whole engine assumes ``sr_hz`` is truthful:
+    the fingerprint frame/hop are in samples, so two encodings of the
+    same audio at DIFFERENT true rates never aligned in the first
+    place, wav or raw. Ingest validation belongs where both values are
+    in hand — ``wav_header_sr`` exposes the parsed rate so a corpus
+    loader can assert ``wav_header_sr(bytes) == sr_hz`` as a cheap
+    quality gate before the pipeline runs."""
     import struct
 
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
@@ -158,6 +168,23 @@ def _decode_wav(buf: bytes) -> np.ndarray:
     if n_ch > 1:
         x = x[: (len(x) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
     return x.astype(np.float32)
+
+
+def wav_header_sr(buf: bytes) -> int:
+    """Sample rate declared by a RIFF/WAVE payload's fmt chunk —
+    for ingest-time validation against the table's ``sr_hz`` column
+    (a mismatch silently mis-scales fingerprints; see ``_decode_wav``)."""
+    import struct
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid, size = buf[pos:pos + 4], struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+        if cid == b"fmt ":
+            return int(struct.unpack("<HHIIHH", buf[pos + 8:pos + 24])[2])
+        pos += 8 + size + (size & 1)
+    raise ValueError("WAVE payload missing fmt chunk")
 
 
 def decode_pcm(buf: bytes, codec: str) -> np.ndarray:

@@ -37,54 +37,53 @@ from ..sources.warehouse import WarehouseIO
 def _estimated_scan_partitions(df: DataFrame, max_partition_bytes: int = 64 << 20) -> int:
     """Cheap estimate of a scan's task count, without compiling plans.
 
-    The old probes were both driver bottlenecks at lake scale:
+    The old probes were all driver bottlenecks at lake scale:
     ``df.rdd.getNumPartitions()`` compiled the non-AQE plan and forced
-    an RDD conversion; the ``os.path.getsize``-per-file loop that
-    replaced it was a Python stat loop over (potentially millions of)
-    files and local-FS-only. Instead: ONE Hadoop ``listStatus`` RPC per
-    distinct parent directory of the scan's input files, summing the
-    sizes of EXACTLY the input files (non-input siblings, nested
-    ``_temporary`` trees and 0-byte ``_SUCCESS`` markers are filtered
-    out — a ``getContentSummary`` variant counted them, recursively,
-    and an inflated estimate silently skips the spread-the-payload
-    repartition this feeds). The scan planner has already listed these
-    same directories to produce ``inputFiles()``, so the RPCs hit
-    warm metadata; local, hdfs:// and s3a:// URIs go through the same
-    FileSystem API. Splittable parquet yields
+    an RDD conversion; an ``os.path.getsize``-per-file Python loop was
+    local-FS-only; a ``getContentSummary``-per-directory variant
+    counted non-input siblings recursively (an inflated estimate
+    silently skips the spread-the-payload repartition this feeds) and
+    a listStatus-filter variant still paid py4j round trips per
+    directory ENTRY. The load-bearing observation: the ONLY decision
+    this estimate feeds is "is the scan spread over at least
+    ``defaultParallelism`` tasks", and splittable parquet yields at
+    least one task per file — so when the scan has at least that many
+    input files the answer is yes with NO I/O at all (one Python
+    ``len``, even at millions of lake files). Only a scan with FEWER
+    files than cores needs sizes, and then a per-file
+    ``getFileStatus`` is exact, immune to sibling inflation, and
+    bounded by ``defaultParallelism`` RPCs. Splittable parquet yields
     ``sum(max(1, ceil(size/maxPartitionBytes)))`` tasks (session.py
     pins maxPartitionBytes=64m). Non-file DataFrames (createDataFrame,
     memory streams) report ``defaultParallelism`` — already well
-    spread, no repartition wanted.
+    spread, no repartition wanted; a file that vanishes or cannot be
+    stat'ed between planning and estimation falls back to "adequately
+    partitioned" rather than triggering the payload shuffle.
     """
     try:
         files = df.inputFiles()
     except Exception:
         files = []
-    if not files:
-        return df.sparkSession.sparkContext.defaultParallelism
     sc = df.sparkSession.sparkContext
+    if not files:
+        return sc.defaultParallelism
+    if len(files) >= sc.defaultParallelism:
+        # >= 1 task per file: already spread; zero RPCs, any file count
+        return len(files)
     jvm = sc._jvm
     hconf = sc._jsc.hadoopConfiguration()
-    parents: dict[str, set[str]] = {}
-    for f in files:
-        jp = jvm.org.apache.hadoop.fs.Path(f)
-        parent = jp.getParent()
-        parents.setdefault(str(parent) if parent is not None else f, set()).add(
-            jp.getName()
-        )
     n = 0
-    for parent, names in sorted(parents.items()):
-        p = jvm.org.apache.hadoop.fs.Path(parent)
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
         try:
-            for st in p.getFileSystem(hconf).listStatus(p):
-                if st.isFile() and st.getPath().getName() in names:
-                    size = st.getLen()
-                    n += max(1, -(-size // max_partition_bytes))
+            size = p.getFileSystem(hconf).getFileStatus(p).getLen()
         except Exception:
-            # an unreadable/just-deleted directory: assume adequately
-            # partitioned rather than triggering the payload-shuffling
-            # repartition this heuristic exists to avoid
+            # vanished/renamed/unreadable since planning: assume
+            # adequately partitioned rather than triggering the
+            # payload-shuffling repartition this heuristic exists to
+            # avoid
             return sc.defaultParallelism * 4
+        n += max(1, -(-size // max_partition_bytes))
     return max(1, n)
 
 

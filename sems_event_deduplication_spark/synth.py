@@ -255,7 +255,7 @@ def _group_rows(
         jitter = _add_noise(pcm * rng.uniform(0.6, 1.2), rng, snr_db=float(rng.uniform(34, 45)))
         codec2 = "pcm_f32le" if rng.uniform() < 0.5 else codec
         add(jitter, sr, codec2, _transcript(rng, tag=f"{gid}b"), date, "nearaud")
-    elif r < 0.35 + p_g711:
+    elif r < 0.35 + p_g711 + p_offset and r >= 0.35 + p_offset:
         # telephony transcode dup: IDENTICAL audio + transcript,
         # payload re-encoded as G.711 (mu-law/A-law). The clip-level
         # SimHash does NOT reliably pair these on this corpus —
@@ -265,6 +265,10 @@ def _group_rows(
         # what carries the pair (transcript Jaccard 1.0), while the
         # signatures stage still decodes the G.711 payload end-to-end.
         # See functions/audio.py for the documented limitation.
+        # NB the branch occupies [0.35 + p_offset, 0.35 + p_offset +
+        # p_g711): stacked AFTER the offset slice so the two knobs
+        # compose independently — neither starves the other's planted
+        # rate when both are set.
         codec_g = "pcm_mulaw" if rng.uniform() < 0.5 else "pcm_alaw"
         add(pcm, sr, codec_g, text, date, "g711")
     elif r < 0.35 + p_offset:

@@ -127,6 +127,32 @@ def test_wav_container_decode():
     with pytest.raises(ValueError, match="RIFF"):
         decode_pcm(b"\x00" * 64, "wav")
 
+    # ingest-validation helper: the parsed header rate is exposed so a
+    # loader can assert it against the sr_hz column
+    from sems_event_deduplication_spark.functions.audio import wav_header_sr
+
+    assert wav_header_sr(_wav_bytes(i16, 1, 1, 16, sr=12345)) == 12345
+
+
+def test_synth_dup_knobs_compose_independently():
+    """p_offset and p_g711 occupy stacked, non-overlapping draw slices:
+    setting both must plant BOTH dup kinds at ~their individual rates
+    (an earlier layout let p_g711 starve the offset slice)."""
+    from collections import Counter
+
+    from sems_event_deduplication_spark.synth import _group_rows
+
+    kinds = Counter()
+    for gid in range(400):
+        for row in _group_rows(gid, 13, 0.25, 0.5, p_offset=0.2, p_g711=0.2):
+            kinds[row["clip_id"].rsplit("_", 1)[1]] += 1
+    # each knob's slice is 0.2 of the uniform draw over 400 groups
+    assert 45 <= kinds["offset"] <= 115, kinds
+    assert 45 <= kinds["g711"] <= 115, kinds
+    # and the pre-existing kinds still appear at their fixed rates
+    for k in ("exact", "neartxt", "contain", "nearaud"):
+        assert kinds[k] > 0, kinds
+
 
 def test_snr_db_basics():
     sig = _tone(_rng(), 8000, 0.2)
