@@ -251,6 +251,108 @@ def run_offset_bench(cores: int) -> dict:
     }
 
 
+def run_incremental_bench(cores: int) -> dict:
+    """Incremental batch-vs-index dedup at bench scale (``--incremental``).
+
+    The contract query proves correctness at sf0.01; this measures the
+    SCALE path: a standing signature index (built once, persisted at
+    rest like the pipeline's signatures stage) and a daily-ingest-sized
+    batch deduped against it without re-clustering the world.
+
+    Corpus: reuses ``SPARK_GRAFT_CORPUS`` (or the 324k scaling corpus
+    if present) — text tiers only, so parquet column pruning never
+    reads the audio payload. Split by planted-dup kind, which gives
+    exact ground truth: the text-dup rows (``_exact``/``_neartxt``/
+    ``_contain``) form the batch and each MUST hit its ``_base`` in
+    the index (the first two normalize to the identical transcript —
+    exact tier; ``_contain`` is a near hit), while ``_nearaud`` rows
+    (unrelated transcripts, audio-only dups) MUST come back novel —
+    text tiers finding them would be a false positive."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sems_event_deduplication_spark.conf import DedupConfig
+    from sems_event_deduplication_spark.operators.incremental import (
+        incremental_dedup, sign_batch,
+    )
+    from sems_event_deduplication_spark.session import get_spark
+
+    spark = get_spark(f"bench-incr-{cores}", cores=cores, shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus_dir = os.environ.get("SPARK_GRAFT_CORPUS")
+    if not corpus_dir and os.path.isdir("/tmp/corpus324k/audio_clips"):
+        corpus_dir = "/tmp/corpus324k/audio_clips"
+    if not corpus_dir:
+        corpus_dir = os.path.join(tempfile.mkdtemp(prefix="incr_corpus_"), "audio_clips")
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--gen-corpus", corpus_dir,
+             "40000", "0.25", "0.5"],
+            check=True, timeout=3000,
+        )
+    cfg = DedupConfig(jaccard_threshold=0.5)
+    clips = spark.read.parquet(corpus_dir).select("clip_id", "transcript")
+    kind = F.substring_index("clip_id", "_", -1)
+    batch_kinds = ("exact", "neartxt", "contain", "nearaud")
+    batch_df = clips.filter(kind.isin(*batch_kinds))
+    index_df = clips.filter(~kind.isin(*batch_kinds))
+
+    # standing index: signed once, persisted at rest (pre-banded), read
+    # back like the pipeline's signatures checkpoint
+    idx_path = tempfile.mkdtemp(prefix="incr_index_") + "/signatures"
+    t0 = time.monotonic()
+    sign_batch(index_df, cfg).write.mode("overwrite").parquet(idx_path)
+    index_sign_sec = time.monotonic() - t0
+    index_sigs = spark.read.parquet(idx_path)
+    n_index = index_sigs.count()
+
+    t0 = time.monotonic()
+    out = incremental_dedup(batch_df, index_sigs, cfg)
+    hits = (
+        out["exact_hits"].select("id_new").withColumn("tier", F.lit("exact"))
+        .unionByName(
+            out["neardup_hits"].select("id_new").distinct()
+            .withColumn("tier", F.lit("near"))
+        )
+        .withColumn("kind", F.substring_index("id_new", "_", -1))
+        .groupBy("kind", "tier").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    novel_kinds = {
+        r["kind"]: r["n"]
+        for r in out["novel"].select(
+            F.substring_index("clip_id", "_", -1).alias("kind")
+        ).groupBy("kind").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    batch_dedup_sec = time.monotonic() - t0
+    n_batch = batch_df.count()
+
+    hit_by_kind: dict[str, int] = {}
+    for r in hits:
+        hit_by_kind[r["kind"]] = hit_by_kind.get(r["kind"], 0) + r["n"]
+    n_dup_expected = n_batch - novel_kinds.get("nearaud", 0) - hit_by_kind.get("nearaud", 0)
+    n_dup_found = sum(v for k, v in hit_by_kind.items() if k != "nearaud")
+    recall = round(n_dup_found / n_dup_expected, 4) if n_dup_expected else None
+    return {
+        "metric": "incremental_batch_clips_per_sec",
+        "value": round(n_batch / batch_dedup_sec, 2),
+        "unit": "clips/sec",
+        "queries": {
+            "index_sign_sec": round(index_sign_sec, 3),
+            "batch_dedup_sec": round(batch_dedup_sec, 3),
+        },
+        "sf": -1.0,
+        "cores": cores,
+        "n_index": n_index,
+        "n_batch": n_batch,
+        "recall_planted_text_dups": recall,
+        "hits_by_kind": hit_by_kind,
+        "novel_by_kind": novel_kinds,
+        "nearaud_false_text_hits": hit_by_kind.get("nearaud", 0),
+        "calibration_sec": run_calibration(spark),
+    }
+
+
 def run_bw_probe(spark, corpus_dir: str | None, target_bytes: int = 4 << 30):
     """Fixed-work cached-read BANDWIDTH probe: scan the same ~4 GB
     prefix of the (page-cache-warmed) corpus in 8 coalesced tasks and
@@ -727,6 +829,9 @@ def main():
         return
     if "--offset" in sys.argv:
         print(json.dumps(run_offset_bench(CPUS)))
+        return
+    if "--incremental" in sys.argv:
+        print(json.dumps(run_incremental_bench(CPUS)))
         return
     if "--bw-anchor" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--bw-anchor") + 1])

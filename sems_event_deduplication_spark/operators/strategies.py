@@ -70,6 +70,21 @@ def gated_broadcast(
     """
     if cap_rows <= 0:
         return df
+    df = register_persisted(df)
+    return F.broadcast(df) if df.count() <= cap_rows else df
+
+
+def register_persisted(df: DataFrame) -> DataFrame:
+    """``persist(MEMORY_AND_DISK)`` + enroll in the bounded release
+    registry (same lock, eviction cap, and ``release_gated_broadcasts``
+    lifecycle as the gated broadcasts). For operators that return
+    SEVERAL frames sharing expensive lineage (``incremental_dedup``:
+    sign UDFs + band join feed exact/near/novel): without the persist,
+    each action a consumer runs re-executes the whole shared tree —
+    measured 392 s vs 19 s (20x) for the incremental bench's three
+    collects over a 42k batch. Persist keeps lineage (executor loss
+    recomputes lost blocks), and the registry keeps long-lived
+    sessions from accumulating pinned storage."""
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     evicted: list[DataFrame] = []
     with _gated_lock:
@@ -78,14 +93,14 @@ def gated_broadcast(
             evicted.append(_gated_frames.pop(0))
     for old in evicted:
         old.unpersist(blocking=False)
-    return F.broadcast(df) if df.count() <= cap_rows else df
+    return df
 
 
 def release_gated_broadcasts() -> int:
-    """Unpersist every frame materialized by ``gated_broadcast`` since
-    the last release; returns how many were released. Safe to call at
-    any time and from any thread — consumers that re-execute afterwards
-    recompute lineage."""
+    """Unpersist every frame materialized by ``gated_broadcast`` or
+    ``register_persisted`` since the last release; returns how many
+    were released. Safe to call at any time and from any thread —
+    consumers that re-execute afterwards recompute lineage."""
     with _gated_lock:
         drained = list(_gated_frames)
         _gated_frames.clear()

@@ -254,7 +254,18 @@ def _group_rows(
     elif r < 0.35:
         jitter = _add_noise(pcm * rng.uniform(0.6, 1.2), rng, snr_db=float(rng.uniform(34, 45)))
         codec2 = "pcm_f32le" if rng.uniform() < 0.5 else codec
-        add(jitter, sr, codec2, _transcript(rng, tag=f"{gid}b"), date, "nearaud")
+        # filler words like every other kind: a template-only nearaud
+        # transcript saturates the 12x10x12x6 template space past ~10^4
+        # clips and clears J>=0.5 against ANY same-template row with a
+        # short filler — measured at 324k clips: 19k nearaud rows all
+        # "matched" unrelated index rows through the text tier. The
+        # filler keeps unrelated transcripts sub-threshold, which is
+        # its documented purpose (_filler_words docstring); the audio
+        # tier remains the only honest way to pair a nearaud dup.
+        text_n = _transcript(rng, tag=f"{gid}b") + " " + _filler_words(
+            rng, int(rng.integers(6, 11))
+        )
+        add(jitter, sr, codec2, text_n, date, "nearaud")
     elif r < 0.35 + p_g711 + p_offset and r >= 0.35 + p_offset:
         # telephony transcode dup: IDENTICAL audio + transcript,
         # payload re-encoded as G.711 (mu-law/A-law). The clip-level
