@@ -353,6 +353,94 @@ def run_incremental_bench(cores: int) -> dict:
     }
 
 
+def run_streaming_bench(cores: int) -> dict:
+    """Streaming near-dup throughput (``--streaming``).
+
+    The stateful online candidate operator
+    (``streaming_neardup_candidates``: KMV sketches +
+    ``applyInPandasWithState``, bounded state) has planted-truth
+    correctness evidence but no measured rate — this drives a bounded
+    file stream of ``BENCH_STREAM_ROWS`` documents (default 200k;
+    every 33rd row is a planted near dup of its predecessor, the rest
+    are unique md5-token texts) through the operator across many
+    micro-batches and reports events/sec plus recall on the planted
+    pairs. Docs are generated JVM-side and written as ~32 json files
+    so maxFilesPerTrigger yields a real multi-batch run with state
+    carried across batches."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sems_event_deduplication_spark.session import get_spark
+    from sems_event_deduplication_spark.streaming.stream_dedup import (
+        run_stream_to_memory, streaming_neardup_candidates,
+    )
+
+    spark = get_spark(f"bench-stream-{cores}", cores=cores, shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    n = int(os.environ.get("BENCH_STREAM_ROWS", "200000"))
+    src = tempfile.mkdtemp(prefix="bench_stream_") + "/docs"
+
+    is_dup = F.pmod(F.col("id"), 33) == 32
+    base_id = F.when(is_dup, F.col("id") - 1).otherwise(F.col("id")).cast("string")
+    tokens = [F.md5(F.concat(base_id, F.lit(f":{i}"))) for i in range(20)]
+    docs = spark.range(0, n, 1, 32).select(
+        F.concat(F.lit("d"), F.col("id")).alias("clip_id"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(secs=F.col("id") / F.lit(10.0))).alias("ts"),
+        F.concat_ws(
+            " ", *tokens, F.when(is_dup, F.lit("extra")).otherwise(F.lit(""))
+        ).alias("transcript"),
+    )
+    docs.write.mode("overwrite").json(src)
+    # arrival order must track event time, as in a real stream:
+    # FileStreamSource batches by modification time, and the 32 part
+    # files land with tied mtimes in arbitrary order — an early-id file
+    # processed after the watermark has advanced past its rows gets
+    # DROPPED as late data (measured: the earliest planted pairs vanish
+    # once the corpus spans more event time than the watermark delay).
+    # spark.range splits ids contiguously, so part-file name order IS
+    # event-time order — stamp strictly increasing mtimes to match.
+    part_files = sorted(
+        f for f in os.listdir(src) if f.startswith("part-")
+    )
+    t_base = time.time() - len(part_files) - 10
+    for i, f in enumerate(part_files):
+        os.utime(os.path.join(src, f), (t_base + i, t_base + i))
+    static = spark.read.json(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 4)
+        .json(src)
+    )
+    pairs = streaming_neardup_candidates(stream, min_est_jaccard=0.5)
+    t0 = time.monotonic()
+    name = run_stream_to_memory(pairs, "bench_stream_neardup", "append")
+    wall = time.monotonic() - t0
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in spark.table(name).select("id_a", "id_b").distinct().collect()
+    }
+    planted = {
+        (f"d{i - 1}", f"d{i}") if f"d{i - 1}" < f"d{i}" else (f"d{i}", f"d{i - 1}")
+        for i in range(32, n, 33)
+    }
+    return {
+        "metric": "streaming_neardup_events_per_sec",
+        "value": round(n / wall, 2),
+        "unit": "events/sec",
+        "queries": {"stream_neardup_wall_sec": round(wall, 3)},
+        "sf": -1.0,
+        "cores": cores,
+        "n_events": n,
+        "n_planted_pairs": len(planted),
+        "n_planted_recovered": len(found & planted),
+        "recall_planted": round(len(found & planted) / len(planted), 4),
+        "n_extra_pairs": len(found - planted),
+        "calibration_sec": run_calibration(spark),
+    }
+
+
 def run_bw_probe(spark, corpus_dir: str | None, target_bytes: int = 4 << 30):
     """Fixed-work cached-read BANDWIDTH probe: scan the same ~4 GB
     prefix of the (page-cache-warmed) corpus in 8 coalesced tasks and
@@ -832,6 +920,9 @@ def main():
         return
     if "--incremental" in sys.argv:
         print(json.dumps(run_incremental_bench(CPUS)))
+        return
+    if "--streaming" in sys.argv:
+        print(json.dumps(run_streaming_bench(CPUS)))
         return
     if "--bw-anchor" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--bw-anchor") + 1])
