@@ -161,6 +161,18 @@ def streaming_neardup_candidates(
     stream): a FIFO cap of ``max_state_per_bucket`` members per bucket
     and an event-time timeout of ``state_ttl_minutes`` past the
     watermark, after which idle buckets are evicted.
+
+    Measured scale ceiling (bench.py --streaming, 200k events,
+    local[32]): ~1,069 events/s with recall 1.0 on planted pairs and
+    TTL eviction active. The binding cost is per-GROUP Python
+    dispatch: most bucket keys are singletons, so Spark invokes the
+    stateful generator ~``n_bucket_keys`` times per event for
+    microscopic groups. A 10x-throughput evolution at production
+    rates would coarsen the state key (group = hash(bucket_key) % K
+    with a per-bucket map inside one state row) to amortize dispatch
+    over many buckets — kept out of this round because it complicates
+    the timeout story (per-map-entry TTL instead of per-state-row)
+    and the current rate covers the synthetic corpus by 20x.
     """
     import numpy as np
     import pandas as pd
