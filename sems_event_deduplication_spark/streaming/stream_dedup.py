@@ -171,8 +171,12 @@ def streaming_neardup_candidates(
     rates would coarsen the state key (group = hash(bucket_key) % K
     with a per-bucket map inside one state row) to amortize dispatch
     over many buckets — kept out of this round because it complicates
-    the timeout story (per-map-entry TTL instead of per-state-row)
-    and the current rate covers the synthetic corpus by 20x.
+    the timeout story (per-map-entry TTL instead of per-state-row),
+    and because the win is NOT free: a coarse row (de)serializes its
+    WHOLE bucket map every batch it is touched, so past
+    ~total_state/K per row the serialization bytes eat the dispatch
+    saving — K must track live state size, which is exactly the kind
+    of self-tuning knob to add only with a production trace in hand.
     """
     import numpy as np
     import pandas as pd
