@@ -1167,6 +1167,63 @@ def q_silver_labels(spark, sf_dir):
     ).distinct()
 
 
+def _g711_reference_rows() -> list[tuple[int, int, int]]:
+    """Independent pure-int ITU-T G.711 decode (the Sun g711.c
+    expansion written as scalar Python, NOT the engine's vectorized
+    numpy tables) — the oracle side of ``g711_decode_table``. Two
+    implementations of the published standard must agree byte for
+    byte."""
+    rows = []
+    for u in range(256):
+        uc = (~u) & 0xFF
+        t = (((uc & 0x0F) << 3) + 0x84) << ((uc & 0x70) >> 4)
+        mu = (0x84 - t) if (uc & 0x80) else (t - 0x84)
+        a = u ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        al = t if (a & 0x80) else -t
+        rows.append((u, mu, al))
+    return rows
+
+
+def q_g711_decode_table(spark, sf_dir):
+    """Engine-addition evidence: the G.711 mu-law/A-law decode path
+    (``functions/audio.decode_pcm`` through the vectorized numpy
+    tables) evaluated for every possible byte, exercised through the
+    SAME Arrow pandas_udf machinery the signature stage uses. The
+    DuckDB oracle is an independent scalar-int implementation of the
+    published expansion (``_g711_reference_rows``) inlined as a VALUES
+    table — a real cross-check of two codebases against one standard,
+    hash-compared by the driver."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from sems_event_deduplication_spark.functions.audio import decode_pcm
+
+    @F.pandas_udf(T.IntegerType())
+    def dec(vals: pd.Series, codec: pd.Series) -> pd.Series:
+        out = []
+        for v, c in zip(vals, codec):
+            pcm = decode_pcm(bytes([int(v)]), c)
+            out.append(int(round(float(pcm[0]) * 32768.0)))
+        return pd.Series(out)
+
+    return (
+        spark.range(0, 256)
+        .select(
+            F.col("id").cast("int").alias("byte_value"),
+            dec(F.col("id"), F.lit("pcm_mulaw")).alias("mulaw_i16"),
+            dec(F.col("id"), F.lit("pcm_alaw")).alias("alaw_i16"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_keeplast": q_exact_dedup_keeplast,
@@ -1213,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": q_multimodal_image_features,
         "ivf_topk": q_ivf_topk,
         "silver_labels": q_silver_labels,
+        "g711_decode_table": q_g711_decode_table,
     }
 
 
@@ -1877,4 +1935,13 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY count(*) DESC, event_type) AS rn
               FROM kept GROUP BY user_id, event_type) WHERE rn = 1
         """,
+        # independent scalar-int implementation of the ITU-T G.711
+        # expansion, inlined as a VALUES table (see _g711_reference_rows)
+        "g711_decode_table": (
+            "SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({u}, {mu}, {al})" for u, mu, al in _g711_reference_rows()
+            )
+            + ") AS t(byte_value, mulaw_i16, alaw_i16)"
+        ),
     }
