@@ -608,13 +608,17 @@ def q_audio_dedup_clusters(spark, sf_dir):
     rows; any over-merge (two groups in one component) also drops rows —
     so the driver's row count is a real oracle.
 
-    Expected rows: 56, stable across runs (corpus and pipeline are
+    Expected rows: 64, stable across runs (corpus and pipeline are
     deterministic). The corpus plants 67 multi-member groups, of which
-    exactly 56 are recoverable at the configured thresholds per the
+    exactly 64 are recoverable at the configured thresholds per the
     independent in-memory oracle (``tests/oracle_utils.oracle_components``
     — the rest contain an intentionally below-threshold variant); the
-    pipeline recovering exactly those 56 is the recall=precision=1.0
-    statement in row-count form.
+    pipeline recovering exactly those 64 is the recall=precision=1.0
+    statement in row-count form. (Was 56 through round 4: the
+    companding-robust fingerprint floor — functions/audio.py
+    FP_FLOOR_DB — also stabilized 8 planted near-audio groups whose
+    34-45 dB noise used to flip quiet-band bits past the Hamming
+    threshold.)
     """
     import tempfile
 

@@ -158,7 +158,10 @@ def run_audio_dedup(spark, corpus_dir: str | None) -> tuple[int, float, dict, st
     clips = spark.read.parquet(corpus_dir)
     n = clips.count()
     # warm the Arrow workers (collect defeats column pruning)
-    ash = make_audio_simhash_udf(cfg.fft_frame, cfg.fft_hop, cfg.n_mel_bands, cfg.simhash_bits, cfg.seed)
+    ash = make_audio_simhash_udf(
+        cfg.fft_frame, cfg.fft_hop, cfg.n_mel_bands, cfg.simhash_bits,
+        cfg.seed, floor_db=cfg.fp_floor_db,
+    )
     clips.limit(256).repartition(64).select(ash(F.col("bytes"), F.col("codec")).alias("s")).collect()
 
     wh = WarehouseIO(spark, tempfile.mkdtemp(prefix="wh_bench_"))

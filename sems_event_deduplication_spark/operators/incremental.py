@@ -183,10 +183,17 @@ def incremental_dedup(
                 f"table — sign the index with payload_col={payload_col!r} "
                 f"(the pipeline's fused scan mode persists these keys)"
             )
-        _, text_digests = exact_dedup_digest_keys(
+        text_keys, text_digests = exact_dedup_digest_keys(
             "transcript_norm", None, cfg.exact_digest_algo
         )
-        index_sigs = index_sigs.select("*", *text_digests)
+        # add ONLY the missing digest expressions: an index that already
+        # persists a partial subset of the key columns (e.g. just
+        # __k_text_1) would otherwise end up with duplicate column
+        # names and an ambiguous-column failure at the exact-hit join
+        index_sigs = index_sigs.select(
+            "*",
+            *[d for k, d in zip(text_keys, text_digests) if k in missing],
+        )
 
     exact_hits = (
         signed.select("clip_id", *keys)
@@ -239,3 +246,90 @@ def incremental_dedup(
         "neardup_hits": neardup_hits,
         "novel": novel,
     }
+
+
+def append_to_index(
+    novel_signed: DataFrame,
+    wh,
+    batch_id: str,
+    name: str = "signatures",
+    n_chunks: int = 0,
+) -> DataFrame:
+    """Commit a deduped batch's ``novel`` signatures to the standing
+    index and return the grown index (closes the ingest loop: through
+    round 4 ``incremental_dedup`` returned the rows "to append" but
+    nothing performed the append, so day 2's batch could not match day
+    1's novel rows).
+
+    Layout: each ingest batch lands as its own committed increment
+    directory ``<name>__inc/batch=<batch_id>/`` next to the pipeline's
+    base ``<name>`` table — never rewriting the (100 TB-scale) base.
+    ``load_index`` unions the base with every COMMITTED increment, so
+    a reader never sees a half-written batch.
+
+    Idempotency/retry: the write is keyed by ``batch_id`` —
+      - a retry of a batch whose commit marker never landed overwrites
+        the partial directory (parquet overwrite), and with
+        ``n_chunks > 1`` resumes at the first uncommitted chunk via
+        ``WarehouseIO.checkpoint_chunked`` (marker-validated, S8);
+      - a re-run of an already-committed ``batch_id`` is a no-op (the
+        committed increment is trusted, like every stage checkpoint) —
+        so the ingest driver can safely replay its whole schedule.
+
+    At real scale the increments accumulate; fold them into the base
+    periodically by re-running the batch pipeline over the corpus (or,
+    on the Iceberg backend, a table MERGE/rewrite — the parquet
+    fallback deliberately does not implement an in-place base rewrite,
+    which cannot be made crash-atomic on a plain filesystem).
+    """
+    import os as _os
+
+    sub = f"{name}__inc/batch={batch_id}"
+    if n_chunks and n_chunks > 1:
+        marker = _os.path.join(wh._path(sub), "_SUCCESS")
+        if wh._fs_read_text(marker) is None:
+            wh.checkpoint_chunked(
+                novel_signed, sub, "clip_id", n_chunks, resume=True
+            )
+            # batch-level marker AFTER every chunk committed: readers
+            # include an increment only when it is whole
+            wh._fs_write_text(marker, "")
+    else:
+        if not wh.exists(sub):
+            wh.save(novel_signed, sub, stage=f"{name}_increment")
+    return load_index(wh, name)
+
+
+def load_index(wh, name: str = "signatures") -> DataFrame:
+    """The standing signature index: the pipeline's base ``<name>``
+    table unioned with every committed ``append_to_index`` increment
+    (uncommitted/partial batch directories are invisible). Column sets
+    are reconciled by name; the base's column order wins."""
+    import os as _os
+
+    base = wh.load_clean(name)
+    inc_root = wh._path(f"{name}__inc")
+    if not wh._fs_exists(inc_root):
+        return base
+    if wh.remote:
+        fs, p = wh._hadoop_fs(inc_root)
+        batch_dirs = [
+            str(st.getPath()) for st in fs.listStatus(p) if st.isDirectory()
+        ]
+    else:
+        batch_dirs = [
+            _os.path.join(inc_root, d)
+            for d in sorted(_os.listdir(inc_root))
+            if d.startswith("batch=")
+        ]
+    out = base
+    for d in batch_dirs:
+        if not wh._fs_exists(_os.path.join(d, "_SUCCESS")):
+            continue
+        inc = wh.spark.read.parquet(d)
+        inc = inc.drop(
+            *[c for c in ("_lineage_stage", "_lineage_part", "chunk")
+              if c in inc.columns]
+        )
+        out = out.unionByName(inc.select(*base.columns))
+    return out

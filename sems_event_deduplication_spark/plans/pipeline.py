@@ -217,7 +217,7 @@ class DedupPipeline:
                 # at 100 TB the payload re-read IS the cost
                 asl = A.make_audio_sig_landmark_udf(
                     cfg.fft_frame, cfg.fft_hop, cfg.n_mel_bands, cfg.simhash_bits,
-                    cfg.seed, cfg.fft_hop // 2,
+                    cfg.seed, cfg.fft_hop // 2, floor_db=cfg.fp_floor_db,
                 )
                 out = out.withColumn(
                     "__audio", asl(F.col("bytes"), F.col("codec"))
@@ -231,7 +231,8 @@ class DedupPipeline:
                 )
             elif with_audio:
                 ash = A.make_audio_simhash_udf(
-                    cfg.fft_frame, cfg.fft_hop, cfg.n_mel_bands, cfg.simhash_bits, cfg.seed
+                    cfg.fft_frame, cfg.fft_hop, cfg.n_mel_bands, cfg.simhash_bits,
+                    cfg.seed, floor_db=cfg.fp_floor_db,
                 )
                 out = out.withColumn(
                     "audio_simhash", ash(F.col("bytes"), F.col("codec"))

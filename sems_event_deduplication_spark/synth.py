@@ -192,20 +192,23 @@ def _group_rows(
     lead-in/lead-out tones and an unrelated transcript — invisible to
     the text tiers AND to the clip-level SimHash (the pads change the
     global spectrum), detectable only by the landmark offset tier
-    (operators/audio_segments.py). The branch extends the SAME uniform
-    draw the other dup kinds consume, so ``p_offset=0`` (the default)
-    leaves every existing corpus bit-identical.
+    (operators/audio_segments.py).
 
     ``p_g711`` > 0 adds a telephony-transcode dup kind: the base
-    clip's audio and transcript unchanged, payload re-encoded as
-    ITU-T G.711 (pcm_mulaw / pcm_alaw — decoded by the engine with
-    pure numpy tables). The text tier carries the pair (identical
-    transcript); the audio tier decodes the companded payload
-    end-to-end but its clip-level SimHash is NOT relied on for the
-    match (companding rewrites quiet bands of sparse synthetic
-    spectra — limitation documented in functions/audio.py). The
-    branch extends the same uniform draw as the other kinds, so the
-    default 0.0 leaves every existing corpus bit-identical."""
+    clip's audio re-encoded as ITU-T G.711 (pcm_mulaw / pcm_alaw —
+    decoded by the engine with pure numpy tables) under an UNRELATED
+    transcript, so only the AUDIO tier can pair it (the clip-level
+    SimHash is companding-robust as of round 5 — functions/audio.py
+    FP_FLOOR_DB).
+
+    Corpus versioning: both knobs extend the same uniform draw the
+    other dup kinds consume, so at their 0.0 defaults they add no new
+    rows and the generator reproduces any corpus persisted at the same
+    seed and generator version. The generator itself HAS changed
+    across rounds (r4 added filler words to nearaud transcripts; r5
+    gave g711 rows unrelated transcripts) — a corpus regenerated at
+    the same seed matches only within one generator version, so treat
+    persisted corpora as stamped by the commit that wrote them."""
     rng = np.random.default_rng([seed, gid])
     rows: list[dict] = []
     base_date = np.datetime64("2023-05-01")
@@ -267,21 +270,30 @@ def _group_rows(
         )
         add(jitter, sr, codec2, text_n, date, "nearaud")
     elif r < 0.35 + p_g711 + p_offset and r >= 0.35 + p_offset:
-        # telephony transcode dup: IDENTICAL audio + transcript,
-        # payload re-encoded as G.711 (mu-law/A-law). The clip-level
-        # SimHash does NOT reliably pair these on this corpus —
-        # companding's ~-38 dB noise floor rewrites the near-empty
-        # bands of spectrally sparse synthetic audio (measured: up to
-        # 26/128 bits flip on pure re-encode) — so the TEXT tier is
-        # what carries the pair (transcript Jaccard 1.0), while the
-        # signatures stage still decodes the G.711 payload end-to-end.
-        # See functions/audio.py for the documented limitation.
+        # telephony transcode dup: IDENTICAL audio re-encoded as G.711
+        # (mu-law/A-law) with an UNRELATED transcript — the realistic
+        # shape (same recording, different/absent transcription), and
+        # the honest fixture: only the AUDIO tier can pair it. Through
+        # round 4 this kind reused the base transcript because the
+        # clip-level SimHash was not companding-robust (the -60 dB band
+        # flatten sat below G.711's noise floor; measured up to 26/128
+        # flipped bits) and the text tier had to carry the pair. Round
+        # 5 raised the flatten floor above the companding noise
+        # (functions/audio.py FP_FLOOR_DB) — transcode pairs now
+        # measure <= 4 flipped bits, 99.8% within hamming_threshold —
+        # so the fixture demands what the engine now delivers.
+        # CORPUS VERSION NOTE: this changes rows only when p_g711 > 0;
+        # corpora generated with the knob at its 0.0 default (including
+        # every persisted bench corpus) are byte-identical.
         # NB the branch occupies [0.35 + p_offset, 0.35 + p_offset +
         # p_g711): stacked AFTER the offset slice so the two knobs
         # compose independently — neither starves the other's planted
         # rate when both are set.
         codec_g = "pcm_mulaw" if rng.uniform() < 0.5 else "pcm_alaw"
-        add(pcm, sr, codec_g, text, date, "g711")
+        text_g = _transcript(rng, tag=f"{gid}t") + " " + _filler_words(
+            rng, int(rng.integers(6, 11))
+        )
+        add(pcm, sr, codec_g, text_g, date, "g711")
     elif r < 0.35 + p_offset:
         # embedded/offset dup: base audio spliced between two unrelated
         # pads (~0.4-0.8x the clip each), new transcript — only the

@@ -60,7 +60,8 @@ def jaccard_py(a: frozenset, b: frozenset) -> float:
 def simhash_py(buf: bytes, codec: str, cfg: DedupConfig) -> tuple[int, ...]:
     proj = _projection(cfg.n_mel_bands, cfg.simhash_bits, cfg.seed)
     fp = spectral_fingerprint(
-        decode_pcm(buf, codec), cfg.fft_frame, cfg.fft_hop, cfg.n_mel_bands
+        decode_pcm(buf, codec), cfg.fft_frame, cfg.fft_hop, cfg.n_mel_bands,
+        cfg.fp_floor_db,
     )
     return tuple(pack_bits_to_words((proj @ fp) > 0, cfg.simhash_bits))
 

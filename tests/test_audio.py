@@ -197,6 +197,61 @@ def test_simhash_invariances(spark):
     assert ham(sigs["base_s16"], sigs["other"]) > CFG.hamming_threshold
 
 
+def test_simhash_g711_transcode_invariance(spark):
+    """Companding robustness (round 5): a pure G.711 re-encode of the
+    same audio must stay within the hamming_threshold candidate radius
+    — the band flatten floor (FP_FLOOR_DB) sits above the companding
+    noise floor, so mu-law/A-law quantization cannot rewrite quiet
+    bands. Distinct clips must remain far apart (the floor trades
+    discrimination for robustness; this pins that the trade holds)."""
+    rng = _rng()
+    sigs = {}
+    pcms = {}
+    for i in range(4):
+        pcm = _tone(rng, 8000, 0.5, n_partials=8)
+        pcms[i] = pcm
+    payloads = []
+    for i, pcm in pcms.items():
+        payloads.append((f"{i}_f32", _encode(pcm, "pcm_f32le"), "pcm_f32le"))
+        payloads.append((f"{i}_mu", _encode(pcm, "pcm_mulaw"), "pcm_mulaw"))
+        payloads.append((f"{i}_al", _encode(pcm, "pcm_alaw"), "pcm_alaw"))
+    sigs = _simhash_of(spark, payloads)
+
+    def ham(a, b):
+        return sum(bin((x ^ y) & ((1 << 64) - 1)).count("1") for x, y in zip(a, b))
+
+    for i in range(4):
+        assert ham(sigs[f"{i}_f32"], sigs[f"{i}_mu"]) <= CFG.hamming_threshold
+        assert ham(sigs[f"{i}_f32"], sigs[f"{i}_al"]) <= CFG.hamming_threshold
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert ham(sigs[f"{i}_f32"], sigs[f"{j}_f32"]) > 2 * CFG.hamming_threshold
+
+
+def test_wav_truncated_and_short_fmt_raise():
+    """Corrupt containers fail loudly (ValueError, the module's decode
+    contract) instead of silently fingerprinting a partial clip: a data
+    chunk whose declared size overruns the buffer, and a fmt chunk
+    shorter than the 16-byte PCM header."""
+    import struct
+
+    import pytest
+
+    pcm = _tone(_rng(), 8000, 0.1)
+    good = _wav_bytes(_encode(pcm, "pcm_s16le"), 1, 1, 16)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_pcm(good[:-40], "wav")  # data chunk overruns remaining buf
+
+    short_fmt = struct.pack("<HHII", 1, 1, 8000, 16000)  # only 12 bytes
+    buf = (b"RIFF" + struct.pack("<I", 4 + 8 + len(short_fmt)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(short_fmt)) + short_fmt)
+    with pytest.raises(ValueError, match="fmt chunk"):
+        decode_pcm(buf, "wav")
+    from sems_event_deduplication_spark.functions.audio import wav_header_sr
+    with pytest.raises(ValueError, match="fmt chunk"):
+        wav_header_sr(buf)
+
+
 def test_hamming_expr_and_bands(spark):
     df = spark.createDataFrame(pd.DataFrame({"a": [[0b1011, 0b1]], "b": [[0b0010, 0b1]]}))
     got = df.select(hamming_distance(F.col("a"), F.col("b")).alias("h")).collect()[0]["h"]

@@ -133,3 +133,130 @@ def test_payload_keys_same_transcript_different_audio(spark):
     text_only_index = sign_batch(idx, cfg)
     with pytest.raises(ValueError, match="payload digest"):
         incremental_dedup(batch, text_only_index, cfg, payload_col="bytes")
+
+
+def test_append_to_index_closes_ingest_loop(spark, cfg):
+    """Two consecutive ingest days: day 2's dups of day 1's NOVEL rows
+    must be caught — i.e. append_to_index actually grows the index
+    (through r4 nothing performed the append, so this was impossible)."""
+    import tempfile
+
+    from sems_event_deduplication_spark.operators.incremental import (
+        append_to_index, load_index,
+    )
+    from sems_event_deduplication_spark.sources.warehouse import WarehouseIO
+
+    wh = WarehouseIO(spark, tempfile.mkdtemp(prefix="wh_ingest_"))
+    idx = spark.createDataFrame(
+        pd.DataFrame(
+            {"clip_id": [f"idx{i}" for i in range(len(BASE))], "transcript": BASE}
+        )
+    )
+    wh.save(sign_batch(idx, cfg), "signatures")
+    index_sigs = load_index(wh)
+
+    day1 = spark.createDataFrame(
+        pd.DataFrame({
+            "clip_id": ["d1_dup", "d1_new"],
+            "transcript": [
+                BASE[0],
+                "fresh story about a solar farm powering the island grid",
+            ],
+        })
+    )
+    out1 = incremental_dedup(day1, index_sigs, cfg, persist=False)
+    assert {r["clip_id"] for r in out1["novel"].collect()} == {"d1_new"}
+    index_sigs = append_to_index(out1["novel"], wh, batch_id="day1")
+    assert index_sigs.count() == len(BASE) + 1
+
+    day2 = spark.createDataFrame(
+        pd.DataFrame({
+            "clip_id": ["d2_dup_of_d1_novel", "d2_near_of_d1_novel", "d2_new"],
+            "transcript": [
+                "fresh story about a solar farm powering the island grid",
+                "fresh story about a solar farm powering the island grid today",
+                "entirely new coverage of the marathon route announcement",
+            ],
+        })
+    )
+    out2 = incremental_dedup(day2, index_sigs, cfg, persist=False)
+    exact = {(r["id_new"], r["id_indexed"]) for r in out2["exact_hits"].collect()}
+    near = {(r["id_new"], r["id_indexed"]) for r in out2["neardup_hits"].collect()}
+    assert ("d2_dup_of_d1_novel", "d1_new") in exact
+    assert ("d2_near_of_d1_novel", "d1_new") in near
+    assert {r["clip_id"] for r in out2["novel"].collect()} == {"d2_new"}
+
+
+def test_append_to_index_idempotent_chunked_and_partial_invisible(spark, cfg):
+    """Retry semantics: (a) replaying a committed batch_id is a no-op,
+    (b) the chunked write resumes at the first uncommitted chunk and
+    the increment only becomes visible once ALL chunks committed,
+    (c) an increment directory without its batch marker (a crashed
+    write) is invisible to load_index."""
+    import os
+    import tempfile
+
+    from sems_event_deduplication_spark.operators.incremental import (
+        append_to_index, load_index,
+    )
+    from sems_event_deduplication_spark.sources.warehouse import WarehouseIO
+
+    wh = WarehouseIO(spark, tempfile.mkdtemp(prefix="wh_idem_"))
+    idx = spark.createDataFrame(
+        pd.DataFrame(
+            {"clip_id": [f"idx{i}" for i in range(len(BASE))], "transcript": BASE}
+        )
+    )
+    wh.save(sign_batch(idx, cfg), "signatures")
+
+    novel = sign_batch(
+        spark.createDataFrame(
+            pd.DataFrame({
+                "clip_id": [f"n{i}" for i in range(8)],
+                "transcript": [
+                    f"novel clip number {i} about subject {i * 7}" for i in range(8)
+                ],
+            })
+        ),
+        cfg,
+    )
+    grown = append_to_index(novel, wh, batch_id="b1", n_chunks=4)
+    assert grown.count() == len(BASE) + 8
+    # replay of the same committed batch_id: no duplicate rows
+    again = append_to_index(novel, wh, batch_id="b1", n_chunks=4)
+    assert again.count() == len(BASE) + 8
+
+    # crashed chunked write: marker absent -> invisible; retry resumes
+    inc = os.path.join(wh.base_dir, "signatures__inc", "batch=b2")
+    wh.checkpoint_chunked(novel, "signatures__inc/batch=b2", "clip_id", 4,
+                          resume=True)
+    # simulate "crashed before the batch marker landed" + one chunk lost
+    os.remove(os.path.join(inc, "chunk=2", "_SUCCESS"))
+    assert load_index(wh).count() == len(BASE) + 8  # b2 invisible
+    grown2 = append_to_index(novel, wh, batch_id="b2", n_chunks=4)
+    assert grown2.count() == len(BASE) + 16
+    assert os.path.exists(os.path.join(inc, "chunk=2", "_SUCCESS"))
+
+
+def test_partial_digest_key_index_regression(spark, cfg):
+    """An index persisting only a SUBSET of the text digest key columns
+    must get exactly the missing ones derived — not a duplicate-named
+    column and an ambiguous-column failure at the exact-hit join."""
+    from sems_event_deduplication_spark.operators.exact_dedup import (
+        exact_dedup_digest_keys,
+    )
+
+    keys, _ = exact_dedup_digest_keys("transcript_norm", None, cfg.exact_digest_algo)
+    assert len(keys) >= 2  # xxh128 -> two words; the partial shape exists
+    idx = spark.createDataFrame(
+        pd.DataFrame(
+            {"clip_id": [f"idx{i}" for i in range(len(BASE))], "transcript": BASE}
+        )
+    )
+    partial_index = sign_batch(idx, cfg).drop(keys[1])
+    batch = spark.createDataFrame(
+        pd.DataFrame({"clip_id": ["b_exact"], "transcript": [BASE[0]]})
+    )
+    out = incremental_dedup(batch, partial_index, cfg, persist=False)
+    exact = {(r["id_new"], r["id_indexed"]) for r in out["exact_hits"].collect()}
+    assert exact == {("b_exact", "idx0")}

@@ -346,35 +346,48 @@ def test_config_validates_enums_at_construction():
     DedupConfig(offset_verify_mode="count", exact_digest_algo="sha256")
 
 
-def test_g711_transcode_dups_cluster_via_text_tier(spark):
-    """p_g711 plants telephony-transcode dups: same audio + transcript,
-    payload re-encoded as G.711 (decoded by the pure-numpy tables).
-    The pair must cluster with its base — carried by the TEXT tier
-    (transcript Jaccard 1.0), because the clip-level SimHash is
-    documentedly unreliable across companding on sparse synthetic
-    spectra. The run exercises G.711 decode end-to-end (the signatures
-    stage decodes every payload), and must stay oracle-exact over the
-    whole mixed corpus."""
+def test_g711_transcode_dups_cluster_via_audio_tier(spark):
+    """p_g711 plants telephony-transcode dups: same audio re-encoded as
+    G.711 (decoded by the pure-numpy tables) under an UNRELATED
+    transcript — only the AUDIO tier can pair them. With the
+    companding-robust fingerprint (FP_FLOOR_DB above the G.711 noise
+    floor) recall on the planted transcode pairs must be >= 0.99 from
+    the audio tier alone; a text-only run must miss (almost) all of
+    them, proving the fixture actually requires the tier. The run
+    exercises G.711 decode end-to-end and must stay oracle-exact over
+    the whole mixed corpus."""
     from sems_event_deduplication_spark.synth import make_corpus_dist
 
     clips = make_corpus_dist(
-        spark, n_base=80, seed=7, dur_lo=0.4, dur_hi=0.9, p_g711=0.5
+        spark, n_base=120, seed=7, dur_lo=0.4, dur_hi=0.9, p_g711=0.6
     ).localCheckpoint()
     pdf = clips.toPandas()
     g711 = pdf[pdf["codec"].isin(["pcm_mulaw", "pcm_alaw"])]
-    assert len(g711) >= 3, "fixture planted too few G.711 dups"
+    assert len(g711) >= 20, "fixture planted too few G.711 dups"
     assert set(g711["clip_id"].str.endswith("_g711")) == {True}
 
-    wh = WarehouseIO(spark, tempfile.mkdtemp(prefix="wh_g711_"))
-    res = DedupPipeline(spark, DedupConfig(), wh).run(clips, with_audio=True)
-    pred = {
-        m: r["component"]
-        for r in res.clusters.collect()
-        for m in r["member_ids"]
-    }
-    for cid in g711["clip_id"]:
-        base = cid.replace("_g711", "_base")
-        assert pred[cid] == pred[base], (cid, base)
+    def recovered(with_audio):
+        wh = WarehouseIO(spark, tempfile.mkdtemp(prefix="wh_g711_"))
+        res = DedupPipeline(spark, DedupConfig(), wh).run(
+            clips, with_audio=with_audio
+        )
+        pred = {
+            m: r["component"]
+            for r in res.clusters.collect()
+            for m in r["member_ids"]
+        }
+        hits = sum(
+            pred[cid] == pred[cid.replace("_g711", "_base")]
+            for cid in g711["clip_id"]
+        )
+        return pred, hits
+
+    pred, hits = recovered(with_audio=True)
+    assert hits / len(g711) >= 0.99, (hits, len(g711))
+    # honesty: the unrelated transcripts keep the text tier out of it
+    _, text_hits = recovered(with_audio=False)
+    assert text_hits < len(g711) / 2, (text_hits, len(g711))
+    # and the whole mixed corpus stays oracle-exact
     oracle = oracle_components(pdf, DedupConfig(), with_audio=True)
     op, pp = intra_pairs(oracle), intra_pairs(pred)
     assert op and len(op & pp) / len(op) >= 0.99
