@@ -141,20 +141,30 @@ class DedupConfig:
     signature_chunk_col: str = "clip_id"
 
     # --- signature scan shape (plans/pipeline.py) --------------------
-    signature_scan_mode: str = "dedup_first"
+    signature_scan_mode: str = "fused"
+                                  # fused (default): ONE payload pass
+                                  #   computes digests + all signatures;
+                                  #   exact dedup then ranks the narrow
+                                  #   digest projection and keepers are
+                                  #   filtered by a broadcast anti-join on
+                                  #   the signature table. The honest
+                                  #   100 TB shape: reading the payload
+                                  #   twice costs more than fingerprinting
+                                  #   the (few) dup rows — dedup_first's
+                                  #   second payload scan measured at
+                                  #   stage efficiency 0.46
+                                  #   (BENCH/BASELINE.md), which is why
+                                  #   every scale document and the
+                                  #   flagship bench pick fused; as of r5
+                                  #   defaults agree with them.
                                   # dedup_first: digest pass -> drop exact
                                   #   dups -> signature pass over keepers
                                   #   (reference ordering; two payload
                                   #   reads, no FFT wasted on dups — right
-                                  #   when the dup rate is high)
-                                  # fused: ONE payload pass computes digests
-                                  #   + all signatures; exact dedup then
-                                  #   ranks the narrow digest projection and
-                                  #   keepers are filtered by a broadcast
-                                  #   anti-join on the signature table —
-                                  #   right at 100 TB when reading the
-                                  #   payload twice costs more than
-                                  #   fingerprinting the (few) dup rows
+                                  #   only when the dup rate is high
+                                  #   enough that skipped FFTs beat the
+                                  #   extra scan, e.g. boilerplate
+                                  #   mega-dup corpora)
 
     # --- candidate-join scale controls ------------------------------
     max_bucket_size: int = 256    # LSH buckets larger than this use star-edges
@@ -215,6 +225,11 @@ class DedupConfig:
             raise ValueError(
                 f"offset_verify_mode must be 'exact' or 'count', "
                 f"got {self.offset_verify_mode!r}"
+            )
+        if self.signature_scan_mode not in ("fused", "dedup_first"):
+            raise ValueError(
+                f"signature_scan_mode must be 'fused' or 'dedup_first', "
+                f"got {self.signature_scan_mode!r}"
             )
         if self.exact_digest_algo not in ("xxh128", "sha256"):
             raise ValueError(

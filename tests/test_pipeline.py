@@ -110,19 +110,21 @@ def test_metrics_emitted(result, corpus_pdf):
 
 
 def test_fused_scan_mode_parity(spark, corpus):
-    """signature_scan_mode='fused' (one payload pass: digests + all
-    fingerprints, exact dedup ranked on the narrow digest projection
-    afterwards) must produce exactly the clusters and exact-dup edges
-    of the default dedup-first ordering."""
+    """signature_scan_mode='fused' (the r5 default: one payload pass —
+    digests + all fingerprints, exact dedup ranked on the narrow digest
+    projection afterwards) must produce exactly the clusters and
+    exact-dup edges of the dedup-first ordering (the reference's
+    two-scan shape, still selectable for mega-dup corpora)."""
     from dataclasses import replace
 
     import tempfile
 
+    cfg_d = replace(CFG, signature_scan_mode="dedup_first")
     wh_a = WarehouseIO(spark, tempfile.mkdtemp(prefix="wh_fuseda_"))
-    res_a = DedupPipeline(spark, CFG, wh_a).run(corpus, with_audio=True)
-    cfg_f = replace(CFG, signature_scan_mode="fused")
+    res_a = DedupPipeline(spark, cfg_d, wh_a).run(corpus, with_audio=True)
+    assert CFG.signature_scan_mode == "fused"  # the default under test
     wh_b = WarehouseIO(spark, tempfile.mkdtemp(prefix="wh_fusedb_"))
-    res_b = DedupPipeline(spark, cfg_f, wh_b).run(corpus, with_audio=True)
+    res_b = DedupPipeline(spark, CFG, wh_b).run(corpus, with_audio=True)
 
     def comp_map(res):
         return {
