@@ -260,3 +260,55 @@ def test_partial_digest_key_index_regression(spark, cfg):
     out = incremental_dedup(batch, partial_index, cfg, persist=False)
     exact = {(r["id_new"], r["id_indexed"]) for r in out["exact_hits"].collect()}
     assert exact == {("b_exact", "idx0")}
+
+
+def test_incremental_persist_shape_regression(spark, cfg):
+    """The 20x guard (memory-noted class): incremental_dedup's three
+    returned frames share the expensive lineage (sign UDFs, digest
+    join, band join + verify) and MUST reference the persisted
+    intermediates — novel's plan reads InMemoryRelations for signed /
+    exact_hits / neardup_hits instead of re-deriving the whole tree
+    per consumer action (measured 392 s vs 19 s on a 42k batch). Red
+    on the pre-fix shape: persist=False shows zero InMemoryRelation.
+    Wall time only proved the fix once; this pins the plan shape."""
+    from sems_event_deduplication_spark.operators.strategies import (
+        release_gated_broadcasts,
+    )
+
+    # content UNIQUE to this test: the cache manager substitutes cached
+    # plans into any canonically-identical subtree, so reusing the
+    # module fixture's rows would make even the persist=False plan show
+    # InMemoryRelations that belong to other tests' caches
+    texts = [f"persist shape probe {t} row" for t in BASE]
+    idx = spark.createDataFrame(
+        pd.DataFrame(
+            {"clip_id": [f"pidx{i}" for i in range(len(texts))], "transcript": texts}
+        )
+    )
+    index_sigs = sign_batch(idx, cfg)
+    batch = spark.createDataFrame(
+        pd.DataFrame({
+            "clip_id": ["pb0", "pb1"],
+            "transcript": [texts[0], "novel content about glacier monitoring"],
+        })
+    )
+
+    def n_cached(df):
+        return df._jdf.queryExecution().optimizedPlan().toString().count(
+            "InMemoryRelation"
+        )
+
+    try:
+        # pre-fix shape FIRST: once persist=True has run, the cache
+        # manager substitutes cached plans into any identical logical
+        # subtree, so the order matters
+        unpersisted = incremental_dedup(batch, index_sigs, cfg, persist=False)
+        assert n_cached(unpersisted["novel"]) == 0  # the pre-fix shape
+
+        out = incremental_dedup(batch, index_sigs, cfg, persist=True)
+        # novel anti-joins signed against exact+near: all three cached
+        assert n_cached(out["novel"]) >= 3, out["novel"]._jdf.queryExecution()
+        assert n_cached(out["exact_hits"]) >= 1
+        assert n_cached(out["neardup_hits"]) >= 1
+    finally:
+        release_gated_broadcasts()
