@@ -598,6 +598,57 @@ def q_stream_neardup_candidates(spark, sf_dir):
     return spark.table(name).select("id_a", "id_b").distinct()
 
 
+def q_stream_neardup_join(spark, sf_dir):
+    """The r5 scale-path streaming operator
+    (``streaming_neardup_join_candidates``): the SAME online candidate
+    semantics as ``stream_neardup_candidates`` expressed as a native
+    stream-stream self-join (JVM state store, KMV estimate as array
+    expressions — zero Python in the loop; measured 3.7x the stateful
+    op at 200k events). Rows-only (streaming) but SELF-CHECKING with
+    the same two-sided oracle shape: pairwise-dissimilar md5-token
+    docs, exactly three planted near-dups arriving 30 minutes after
+    their sources — INSIDE the 60-minute join horizon, which the join
+    enforces as a range predicate (the stateful op's TTL only evicts
+    at batch boundaries, so its fixture plants 5 h gaps; here the gap
+    must clear the predicate). Expected rows: exactly the 3 canonical
+    pairs (d13, d13_dup), (d23, d23_dup), (d3, d3_dup)."""
+    import tempfile
+
+    from sems_event_deduplication_spark.streaming.stream_dedup import (
+        run_stream_to_memory, streaming_neardup_join_candidates,
+    )
+
+    src = tempfile.mkdtemp(prefix="stream_ndj_entry_")
+    word = lambda i: F.concat(  # noqa: E731
+        F.lit("w"),
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), i.cast("string"))),
+            1, 8,
+        ),
+    )
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        F.concat(F.lit("d"), F.col("doc_id")).alias("clip_id"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(mins=F.col("doc_id").cast("int"))).alias("ts"),
+        F.concat_ws(
+            " ", F.transform(F.sequence(F.lit(1), F.lit(40)), word)
+        ).alias("transcript"),
+    )
+    dups = docs.filter(F.col("clip_id").isin(["d3", "d13", "d23"])).select(
+        F.concat(F.col("clip_id"), F.lit("_dup")).alias("clip_id"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ts"),
+        F.concat(F.col("transcript"), F.lit(" trailing edit")).alias("transcript"),
+    )
+    docs.unionByName(dups).write.mode("overwrite").json(src)
+    static = spark.read.json(src)
+    stream = spark.readStream.schema(static.schema).json(src)
+    pairs = streaming_neardup_join_candidates(
+        stream, min_est_jaccard=0.5, n_bucket_keys=8
+    )
+    name = run_stream_to_memory(pairs, "q_stream_ndjoin_out", "append")
+    return spark.table(name).select("id_a", "id_b").distinct()
+
+
 def q_audio_dedup_clusters(spark, sf_dir):
     """The flagship audio+text pipeline on the deterministic synthetic
     corpus (pandas/Arrow UDF path — not SQL-expressible), returned as a
@@ -1256,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_heuristic": q_lang_id_heuristic,
         "stream_event_counts": q_stream_event_counts,
         "stream_neardup_candidates": q_stream_neardup_candidates,
+        "stream_neardup_join": q_stream_neardup_join,
         "audio_dedup_clusters": q_audio_dedup_clusters,
         "audio_offset_pairs": q_audio_offset_pairs,
         "classification_report": q_classification_report,

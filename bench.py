@@ -356,20 +356,26 @@ def run_incremental_bench(cores: int) -> dict:
     }
 
 
-def run_streaming_bench(cores: int) -> dict:
-    """Streaming near-dup throughput (``--streaming``).
+def run_streaming_bench(cores: int, engine: str = "join") -> dict:
+    """Streaming near-dup throughput (``--streaming [engine]``).
 
-    The stateful online candidate operator
-    (``streaming_neardup_candidates``: KMV sketches +
-    ``applyInPandasWithState``, bounded state) has planted-truth
-    correctness evidence but no measured rate — this drives a bounded
-    file stream of ``BENCH_STREAM_ROWS`` documents (default 200k;
-    every 33rd row is a planted near dup of its predecessor, the rest
-    are unique md5-token texts) through the operator across many
-    micro-batches and reports events/sec plus recall on the planted
-    pairs. Docs are generated JVM-side and written as ~32 json files
-    so maxFilesPerTrigger yields a real multi-batch run with state
-    carried across batches."""
+    Drives a bounded file stream of ``BENCH_STREAM_ROWS`` documents
+    (default 200k; every 33rd row is a planted near dup of its
+    predecessor, the rest are unique md5-token texts) through the
+    online candidate operator across many micro-batches and reports
+    events/sec plus recall on the planted pairs. Docs are generated
+    JVM-side and written as ~32 json files so maxFilesPerTrigger
+    yields a real multi-batch run with state carried across batches.
+
+    ``engine``:
+    - ``"join"`` (default, the scale path): the native stream-stream
+      self-join operator (``streaming_neardup_join_candidates``) —
+      JVM state store, zero Python in the loop.
+    - ``"stateful"``: the ``applyInPandasWithState`` operator
+      (``streaming_neardup_candidates``) — the per-group Python
+      dispatch ceiling this bench originally measured (~1,069
+      events/s at local[32]); kept runnable so the comparison stays
+      reproducible (``python bench.py --streaming stateful``)."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -377,6 +383,7 @@ def run_streaming_bench(cores: int) -> dict:
     from sems_event_deduplication_spark.session import get_spark
     from sems_event_deduplication_spark.streaming.stream_dedup import (
         run_stream_to_memory, streaming_neardup_candidates,
+        streaming_neardup_join_candidates,
     )
 
     spark = get_spark(f"bench-stream-{cores}", cores=cores, shuffle_partitions=cores)
@@ -416,7 +423,24 @@ def run_streaming_bench(cores: int) -> dict:
         .option("maxFilesPerTrigger", 4)
         .json(src)
     )
-    pairs = streaming_neardup_candidates(stream, min_est_jaccard=0.5)
+    op = (streaming_neardup_join_candidates if engine == "join"
+          else streaming_neardup_candidates)
+    # untimed warmup, same policy as the flagship audio/text legs (r4):
+    # a tiny stream through the SAME operator first, so the timed run
+    # measures the operator, not first-query codegen compilation /
+    # RocksDB class loading (measured ~3 s on the first micro-batch of
+    # a cold JVM)
+    warm_src = tempfile.mkdtemp(prefix="bench_stream_warm_") + "/docs"
+    docs.limit(4096).coalesce(4).write.mode("overwrite").json(warm_src)
+    warm = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 2)
+        .json(warm_src)
+    )
+    run_stream_to_memory(
+        op(warm, min_est_jaccard=0.5), "bench_stream_warmup", "append"
+    )
+    pairs = op(stream, min_est_jaccard=0.5)
     t0 = time.monotonic()
     name = run_stream_to_memory(pairs, "bench_stream_neardup", "append")
     wall = time.monotonic() - t0
@@ -434,6 +458,7 @@ def run_streaming_bench(cores: int) -> dict:
         "unit": "events/sec",
         "queries": {"stream_neardup_wall_sec": round(wall, 3)},
         "sf": -1.0,
+        "engine": engine,
         "cores": cores,
         "n_events": n,
         "n_planted_pairs": len(planted),
@@ -925,7 +950,9 @@ def main():
         print(json.dumps(run_incremental_bench(CPUS)))
         return
     if "--streaming" in sys.argv:
-        print(json.dumps(run_streaming_bench(CPUS)))
+        i = sys.argv.index("--streaming")
+        engine = sys.argv[i + 1] if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-") else "join"
+        print(json.dumps(run_streaming_bench(CPUS, engine)))
         return
     if "--bw-anchor" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--bw-anchor") + 1])

@@ -12,6 +12,13 @@ batch dedup stages:
 - ``streaming_signature_counts``: windowed near-dup *pressure* metric
   (distinct rolling-fingerprint count per window) — cheap online
   signal of duplication rate feeding the batch scheduler.
+- ``streaming_neardup_join_candidates``: online near-dup candidates
+  as a NATIVE stream-stream self-join on bottom-k bucket keys with
+  the KMV Jaccard estimate as JVM array expressions — the scale path
+  (state lives in the JVM state store; no Python in the loop).
+- ``streaming_neardup_candidates``: the same semantics as an explicit
+  ``applyInPandasWithState`` operator — kept for workloads needing a
+  per-bucket FIFO member cap, and as the custom-stateful template.
 
 Both are testable synchronously with a memory sink
 (``processAllAvailable``), which is how the driver query runs them.
@@ -163,45 +170,31 @@ def streaming_neardup_candidates(
     watermark, after which idle buckets are evicted.
 
     Measured scale ceiling (bench.py --streaming, 200k events,
-    local[32]): ~1,069 events/s with recall 1.0 on planted pairs and
-    TTL eviction active. The binding cost is per-GROUP Python
+    local[32]): 1,069 events/s in r4; 1,416 after r5's shared
+    parallel prep (the prep, not Python dispatch, was partly binding
+    at source parallelism) — recall 1.0 on planted pairs and TTL
+    eviction active either way. The binding cost is per-GROUP Python
     dispatch: most bucket keys are singletons, so Spark invokes the
     stateful generator ~``n_bucket_keys`` times per event for
-    microscopic groups. A 10x-throughput evolution at production
-    rates would coarsen the state key (group = hash(bucket_key) % K
-    with a per-bucket map inside one state row) to amortize dispatch
-    over many buckets — kept out of this round because it complicates
-    the timeout story (per-map-entry TTL instead of per-state-row),
-    and because the win is NOT free: a coarse row (de)serializes its
-    WHOLE bucket map every batch it is touched, so past
-    ~total_state/K per row the serialization bytes eat the dispatch
-    saving — K must track live state size, which is exactly the kind
-    of self-tuning knob to add only with a production trace in hand.
+    microscopic groups. THE SCALE PATH IS
+    ``streaming_neardup_join_candidates`` (r5): the same candidate
+    semantics as a native stream-stream self-join with the KMV
+    estimate as JVM array expressions — measured 3.7x this operator's
+    rate on the identical fixture (5,206 vs 1,416 events/s). This stateful form remains the
+    right tool when a per-bucket FIFO member cap
+    (``max_state_per_bucket``) is a hard requirement — the join bounds
+    state by time only — and as the template for stateful logic the
+    join genuinely cannot express (e.g. per-bucket online sketch
+    MERGING rather than pairwise probing).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from ..conf import DedupConfig
-    from ..functions import minhash as M
-    from ..functions.text import char_shingles
 
     cfg = cfg or DedupConfig()
-    signed = (
-        stream.withColumn("ts", F.col("ts").cast("timestamp"))
-        .withColumn("__norm", normalize_text(F.col("transcript")))
-        .withColumn(
-            "__sketch",
-            F.slice(
-                F.array_sort(M.shingle_hashes(char_shingles(F.col("__norm"), cfg.shingle_k))),
-                1, sketch_k,
-            ),
-        )
-        .select(
-            "clip_id", "ts", "__sketch",
-            F.explode(F.slice(F.col("__sketch"), 1, n_bucket_keys)).alias("bucket_key"),
-        )
-    )
+    signed = _sketch_prep(stream, cfg, sketch_k, n_bucket_keys)
     ttl_ms = state_ttl_minutes * 60 * 1000
 
     SENTINEL = np.iinfo(np.int64).max
@@ -278,6 +271,179 @@ def streaming_neardup_candidates(
             stateStructType=NEARDUP_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _sketch_prep(
+    stream: DataFrame, cfg, sketch_k: int, n_bucket_keys: int
+) -> DataFrame:
+    """Shared JVM-native prep for both near-dup streaming operators:
+    normalize -> distinct shingle xxhash64 -> bottom-k (KMV) sketch ->
+    explode the ``n`` smallest hashes as bucket keys (single-permutation
+    bottom-k MinHash: two docs share the global minimum with
+    probability J, so n keys miss a true near-dup with probability
+    (1-J)^n — ~6e-4 at J=0.85, n=4)."""
+    # spread the prep across the cluster FIRST: the shingle/sort work
+    # is ~1.4 ms/doc and a file/kafka micro-batch arrives in as many
+    # tasks as source splits (maxFilesPerTrigger=4 -> FOUR tasks) — a
+    # narrow prep chained onto the source runs at source parallelism
+    # while the rest of the cluster idles (measured: the prep, not the
+    # join state, dominated the whole operator before this exchange).
+    # Hash-partition on clip_id (deterministic, uniform); the raw rows
+    # being shuffled are small (id + ts + transcript).
+    n_parts = stream.sparkSession.sparkContext.defaultParallelism
+    norm = normalize_text(F.col("transcript"))
+    k = cfg.shingle_k
+    # shingle -> hash -> distinct on the INT64 hashes -> sort -> bottom
+    # k. Equivalent to hashing char_shingles' distinct-string output
+    # (hash of duplicate shingles = duplicate hashes; dedup commutes
+    # with hashing up to 2^-64 collisions) but the dedup compares 8-byte
+    # longs instead of UTF8 strings — measured ~2x cheaper per doc, and
+    # the prep is the single largest cost of the streaming operators.
+    n = F.length(F.col("__norm"))
+    hashes = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.xxhash64(F.substr(F.col("__norm"), i, F.lit(k))),
+        ),
+    ).otherwise(
+        F.when(n > 0, F.array(F.xxhash64(F.col("__norm"))))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return (
+        stream.repartition(n_parts, "clip_id")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("__norm", norm)
+        .withColumn(
+            "__sketch",
+            F.slice(F.array_sort(F.array_distinct(hashes)), 1, sketch_k),
+        )
+        .select(
+            "clip_id", "ts", "__sketch",
+            F.explode(F.slice(F.col("__sketch"), 1, n_bucket_keys)).alias("bucket_key"),
+        )
+    )
+
+
+def kmv_est_expr(a, b):
+    """JVM-native bottom-k KMV Jaccard estimate between two sorted
+    distinct-value sketch arrays — the exact arithmetic of
+    ``kmv_est_many`` (property-tested equal) as codegen'd expressions:
+    among the k = min(|a|, |b|) smallest values of the union, the
+    fraction present in both. Entirely ``array_intersect`` /
+    ``array_union`` / ``filter`` — no Python anywhere."""
+    inter = F.array_intersect(a, b)
+    uni = F.array_sort(F.array_union(a, b))
+    k = F.least(F.size(a), F.size(b))
+    kth = F.get(uni, k - 1)  # 0-based; k >= 1 guaranteed by the guard
+    return F.when(
+        k > 0,
+        F.size(F.filter(inter, lambda v: v <= kth)) / k,
+    ).otherwise(F.lit(0.0))
+
+
+def streaming_neardup_join_candidates(
+    stream: DataFrame,
+    cfg=None,
+    watermark: str = "1 hour",
+    horizon_minutes: int = 60,
+    min_est_jaccard: float = 0.55,
+    sketch_k: int = 32,
+    n_bucket_keys: int = 4,
+) -> DataFrame:
+    """Online near-dup candidates as a NATIVE stream-stream self-join —
+    the scale path (r5), replacing per-group Python dispatch with
+    JVM-side state.
+
+    ``streaming_neardup_candidates`` (below) is correct but its
+    ``applyInPandasWithState`` invokes Python once per bucket-key group
+    per micro-batch; most groups are singletons, so the measured
+    ceiling was ~1,069 events/s at local[32] — production-insufficient
+    and the engine's one documented weak-for-scale operator. This
+    variant expresses the SAME candidate semantics as operations the
+    JVM executes end-to-end:
+
+    - same prep (``_sketch_prep``: bottom-k sketch + n smallest hashes
+      as bucket keys, all codegen'd),
+    - candidate pairing = inner self-join on ``bucket_key`` with an
+      event-time range (``r.ts`` within ``horizon_minutes`` before
+      ``l.ts``) — Spark's symmetric-hash-join state store keeps each
+      side keyed by bucket under the watermark, evicting rows older
+      than the horizon: per-key state lives in the JVM state store
+      (RocksDB-capable), never crossing into Python,
+    - tier-1 verify = the KMV estimate as native array expressions
+      (``kmv_est_expr``), filtered at ``min_est_jaccard``.
+
+    OUTPUT CONTRACT — identical to the stateful op: canonical
+    ``(least, greatest)`` pairs, at-least-once (a pair sharing m bucket
+    keys is emitted m times; consumers aggregate by (id_a, id_b)).
+    Each unordered pair is produced by exactly one (l, r) orientation:
+    the later arrival probes as ``l`` (ties broken by clip_id), so no
+    (b, a) mirror rows exist even pre-dedup.
+
+    Semantics vs the stateful op (both documented, neither hidden):
+    - State bound: the join bounds state by TIME only (watermark +
+      horizon). The stateful op also FIFO-caps members per bucket
+      (``max_state_per_bucket``) — under a hot boilerplate bucket the
+      join emits the full quadratic pair set where the cap would
+      degrade recall to the newest members. At production rates pair
+      the join with an upstream hot-key stop-list (the batch tier's
+      ``lsh_stats`` reports exactly which band values run hot) the
+      same way the batch candidate join star-caps its buckets.
+    - A duplicate arriving LATER than the horizon pairs with nothing —
+      the same bounded-state tradeoff the other two operators document.
+
+    ``sketch_k`` defaults to 32 here (the stateful op stores 64): the
+    sketch rides EVERY state row (n_bucket_keys rows per event per join
+    side), so its width directly prices the state path — measured ~25%
+    of the whole operator's wall at 200k events. KMV error math says 32
+    is enough for a CANDIDATE tier: the estimate's std dev is
+    sqrt(J(1-J)/k) ~= 0.07 at J=0.8, k=32, so a true J=0.8 pair misses
+    a 0.55 threshold only ~2e-4 of the time — and every emitted pair is
+    exactly re-verified by the downstream batch Jaccard anyway. Raise
+    it when the online estimate itself must be tight.
+
+    Relies on the session's streaming state conf (session.py): RocksDB
+    provider + join stateFormatVersion 3 + changelog checkpointing —
+    measured ~2x on the state commit path vs the defaults.
+
+    Measured (bench.py --streaming, the same 200k-event / 8-micro-batch
+    fixture and VM, local[32], fresh process each): 5,206 events/s
+    with planted recall 1.0 and zero extra pairs, vs 1,416 for the
+    stateful op — 3.7x (the stateful op itself gained ~30% from the
+    shared parallel prep; against its r4 measurement the join is
+    4.9x). The remaining wall is Spark's per-row symmetric-hash-join
+    state work (~0.4 ms/update measured), not Python.
+    """
+    from ..conf import DedupConfig
+
+    cfg = cfg or DedupConfig()
+    signed = _sketch_prep(stream, cfg, sketch_k, n_bucket_keys)
+    wm = signed.withWatermark("ts", watermark)
+    l, r = wm.alias("l"), wm.alias("r")
+    cond = (
+        (F.col("l.bucket_key") == F.col("r.bucket_key"))
+        # extractable range conjuncts first: Spark derives state
+        # eviction bounds from these (r rows older than the horizon
+        # below the left watermark are dropped from the join state)
+        & (F.col("r.ts") >= F.col("l.ts") - F.expr(f"INTERVAL {int(horizon_minutes)} MINUTES"))
+        & (F.col("r.ts") <= F.col("l.ts"))
+        # orientation tie-break: the later arrival is the probe, equal
+        # timestamps resolve by id — each unordered pair joins exactly
+        # once
+        & ((F.col("r.ts") < F.col("l.ts")) | (F.col("r.clip_id") < F.col("l.clip_id")))
+    )
+    est = kmv_est_expr(F.col("l.__sketch"), F.col("r.__sketch"))
+    return (
+        l.join(r, cond)
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= F.lit(min_est_jaccard))
+        .select(
+            F.least(F.col("l.clip_id"), F.col("r.clip_id")).alias("id_a"),
+            F.greatest(F.col("l.clip_id"), F.col("r.clip_id")).alias("id_b"),
+            "est_jaccard",
         )
     )
 

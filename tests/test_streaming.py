@@ -142,3 +142,89 @@ def test_kmv_est_many_matches_scalar_oracle():
         got = kmv_est_many(new, stored, lens)
         want = [scalar(new, s) for s in sketches]
         assert np.allclose(got, want), (got, want)
+
+
+def test_kmv_est_expr_matches_vectorized_oracle(spark):
+    """The JVM-native KMV estimate (kmv_est_expr, used by the join
+    operator) must equal kmv_est_many's arithmetic on the same sketch
+    pairs — including unequal lengths and empty sketches."""
+    from sems_event_deduplication_spark.streaming.stream_dedup import (
+        kmv_est_expr, kmv_est_many,
+    )
+
+    rng = np.random.default_rng(11)
+    K = 16
+    sentinel = np.iinfo(np.int64).max
+    rows = []
+    for i in range(40):
+        na, nb = int(rng.integers(0, K + 1)), int(rng.integers(0, K + 1))
+        pool = np.sort(rng.choice(5_000, size=K * 2, replace=False)).astype(np.int64)
+        a = np.sort(rng.choice(pool, size=na, replace=False)) if na else np.array([], dtype=np.int64)
+        b = np.sort(rng.choice(pool, size=nb, replace=False)) if nb else np.array([], dtype=np.int64)
+        rows.append({"i": i, "a": [int(v) for v in a], "b": [int(v) for v in b]})
+    df = spark.createDataFrame(
+        pd.DataFrame(rows), schema="i int, a array<long>, b array<long>"
+    )
+    got = {
+        r["i"]: r["est"]
+        for r in df.select(
+            "i", kmv_est_expr(F.col("a"), F.col("b")).alias("est")
+        ).collect()
+    }
+    for row in rows:
+        a = np.asarray(row["a"], dtype=np.int64)
+        b = np.asarray(row["b"], dtype=np.int64)
+        if len(b) == 0 or len(a) == 0:
+            want = 0.0
+        else:
+            stored = np.full((1, K), sentinel, dtype=np.int64)
+            stored[0, : len(b)] = b
+            want = float(kmv_est_many(a, stored, np.array([len(b)]))[0])
+        assert abs(got[row["i"]] - want) < 1e-9, (row, got[row["i"]], want)
+
+
+def test_streaming_neardup_join_candidates(spark):
+    """The native stream-stream join operator must recover exactly the
+    planted pairs of the stateful fixture, with the same canonical
+    (least, greatest) orientation contract — and a pair older than the
+    join horizon must NOT be emitted (time-bounded state is the
+    operator's eviction story)."""
+    from sems_event_deduplication_spark.streaming.stream_dedup import (
+        streaming_neardup_join_candidates,
+    )
+
+    d = tempfile.mkdtemp(prefix="stream_ndj_")
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(12):
+        rows.append({
+            "clip_id": f"a{i:02d}",
+            "ts": base + pd.Timedelta(minutes=i),
+            "transcript": f"cyclone eloise slams into mozambique incident {i} "
+                          f"kuri{i} zalo{i} tenka{i} dolmen{i}",
+        })
+    rows.append({"clip_id": "dup03", "ts": base + pd.Timedelta(minutes=20),
+                 "transcript": "cyclone eloise slams into mozambique incident 3 "
+                               "kuri3 zalo3 tenka3 dolmen3 extra"})
+    rows.append({"clip_id": "dup07", "ts": base + pd.Timedelta(minutes=21),
+                 "transcript": "cyclone eloise slams into mozambique incident 7 "
+                               "kuri7 zalo7 tenka7 dolmen7 extra"})
+    # beyond-horizon dup of a00: arrives 3 h of EVENT time later than
+    # a00 with a 60-min horizon -> must not pair
+    rows.append({"clip_id": "late00", "ts": base + pd.Timedelta(hours=3),
+                 "transcript": "cyclone eloise slams into mozambique incident 0 "
+                               "kuri0 zalo0 tenka0 dolmen0 extra"})
+    path = os.path.join(d, "batch")
+    spark.createDataFrame(pd.DataFrame(rows)).write.json(path)
+    static = spark.read.json(path)
+    stream = spark.readStream.schema(static.schema).json(path)
+    pairs = streaming_neardup_join_candidates(
+        stream, min_est_jaccard=0.5, n_bucket_keys=8
+    )
+    name = run_stream_to_memory(pairs, "t_stream_ndjoin", "append")
+    raw = [(r["id_a"], r["id_b"]) for r in spark.table(name).collect()]
+    got = set(raw)
+    assert got == {("a03", "dup03"), ("a07", "dup07")}, raw
+    # at-least-once: repeats are the canonical row, never a mirror
+    assert len(raw) > len(got), raw
+    assert all(a < b for a, b in raw), raw
