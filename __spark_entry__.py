@@ -541,6 +541,43 @@ def q_stream_event_counts(spark, sf_dir):
     )
 
 
+def _stream_neardup_fixture(spark, sf_dir, gap, prefix):
+    """Shared fixture for the two streaming near-dup contract queries:
+    200 pairwise-dissimilar docs (40 unique md5-derived tokens each —
+    cross-doc shingle Jaccard ~ 0) plus exactly three planted near-dups
+    of d3/d13/d23 (source text + a trailing edit) arriving ``gap``
+    after their sources. Returns the json source dir. One builder so
+    the stateful and join variants stay on the SAME planted truth —
+    only the arrival gap differs (the join enforces its horizon as a
+    range predicate; the stateful op's TTL evicts at batch
+    boundaries)."""
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix=prefix)
+    word = lambda i: F.concat(  # noqa: E731
+        F.lit("w"),
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), i.cast("string"))),
+            1, 8,
+        ),
+    )
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        F.concat(F.lit("d"), F.col("doc_id")).alias("clip_id"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(mins=F.col("doc_id").cast("int"))).alias("ts"),
+        F.concat_ws(
+            " ", F.transform(F.sequence(F.lit(1), F.lit(40)), word)
+        ).alias("transcript"),
+    )
+    dups = docs.filter(F.col("clip_id").isin(["d3", "d13", "d23"])).select(
+        F.concat(F.col("clip_id"), F.lit("_dup")).alias("clip_id"),
+        (F.col("ts") + F.expr(f"INTERVAL {gap}")).alias("ts"),
+        F.concat(F.col("transcript"), F.lit(" trailing edit")).alias("transcript"),
+    )
+    docs.unionByName(dups).write.mode("overwrite").json(src)
+    return src
+
+
 def q_stream_neardup_candidates(spark, sf_dir):
     """Custom stateful streaming op (applyInPandasWithState): online
     near-dup candidates over a doc stream, keyed state = bottom-k
@@ -561,34 +598,11 @@ def q_stream_neardup_candidates(spark, sf_dir):
     between dissimilar docs adds one (precision): the driver's
     row count (3) is a two-sided oracle, like ``audio_offset_pairs``.
     """
-    import tempfile
-
     from sems_event_deduplication_spark.streaming.stream_dedup import (
         run_stream_to_memory, streaming_neardup_candidates,
     )
 
-    src = tempfile.mkdtemp(prefix="stream_nd_entry_")
-    word = lambda i: F.concat(  # noqa: E731
-        F.lit("w"),
-        F.substring(
-            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), i.cast("string"))),
-            1, 8,
-        ),
-    )
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
-        F.concat(F.lit("d"), F.col("doc_id")).alias("clip_id"),
-        (F.lit("2024-01-01 00:00:00").cast("timestamp")
-         + F.make_interval(mins=F.col("doc_id").cast("int"))).alias("ts"),
-        F.concat_ws(
-            " ", F.transform(F.sequence(F.lit(1), F.lit(40)), word)
-        ).alias("transcript"),
-    )
-    dups = docs.filter(F.col("clip_id").isin(["d3", "d13", "d23"])).select(
-        F.concat(F.col("clip_id"), F.lit("_dup")).alias("clip_id"),
-        (F.col("ts") + F.expr("INTERVAL 5 HOURS")).alias("ts"),
-        F.concat(F.col("transcript"), F.lit(" trailing edit")).alias("transcript"),
-    )
-    docs.unionByName(dups).write.mode("overwrite").json(src)
+    src = _stream_neardup_fixture(spark, sf_dir, "5 HOURS", "stream_nd_entry_")
     static = spark.read.json(src)
     stream = spark.readStream.schema(static.schema).json(src)
     pairs = streaming_neardup_candidates(
@@ -612,34 +626,11 @@ def q_stream_neardup_join(spark, sf_dir):
     at batch boundaries, so its fixture plants 5 h gaps; here the gap
     must clear the predicate). Expected rows: exactly the 3 canonical
     pairs (d13, d13_dup), (d23, d23_dup), (d3, d3_dup)."""
-    import tempfile
-
     from sems_event_deduplication_spark.streaming.stream_dedup import (
         run_stream_to_memory, streaming_neardup_join_candidates,
     )
 
-    src = tempfile.mkdtemp(prefix="stream_ndj_entry_")
-    word = lambda i: F.concat(  # noqa: E731
-        F.lit("w"),
-        F.substring(
-            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), i.cast("string"))),
-            1, 8,
-        ),
-    )
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
-        F.concat(F.lit("d"), F.col("doc_id")).alias("clip_id"),
-        (F.lit("2024-01-01 00:00:00").cast("timestamp")
-         + F.make_interval(mins=F.col("doc_id").cast("int"))).alias("ts"),
-        F.concat_ws(
-            " ", F.transform(F.sequence(F.lit(1), F.lit(40)), word)
-        ).alias("transcript"),
-    )
-    dups = docs.filter(F.col("clip_id").isin(["d3", "d13", "d23"])).select(
-        F.concat(F.col("clip_id"), F.lit("_dup")).alias("clip_id"),
-        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ts"),
-        F.concat(F.col("transcript"), F.lit(" trailing edit")).alias("transcript"),
-    )
-    docs.unionByName(dups).write.mode("overwrite").json(src)
+    src = _stream_neardup_fixture(spark, sf_dir, "30 MINUTES", "stream_ndj_entry_")
     static = spark.read.json(src)
     stream = spark.readStream.schema(static.schema).json(src)
     pairs = streaming_neardup_join_candidates(

@@ -952,6 +952,10 @@ def main():
     if "--streaming" in sys.argv:
         i = sys.argv.index("--streaming")
         engine = sys.argv[i + 1] if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-") else "join"
+        if engine not in ("join", "stateful"):
+            raise SystemExit(
+                f"--streaming engine must be 'join' or 'stateful', got {engine!r}"
+            )
         print(json.dumps(run_streaming_bench(CPUS, engine)))
         return
     if "--bw-anchor" in sys.argv:

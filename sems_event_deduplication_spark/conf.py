@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, asdict
 
+from .functions.audio import FP_FLOOR_DB as _FP_FLOOR_DB
+
 
 @dataclass(frozen=True)
 class DedupConfig:
@@ -42,7 +44,8 @@ class DedupConfig:
     fft_frame: int = 1024         # samples per analysis frame
     fft_hop: int = 512
     n_mel_bands: int = 64         # log-spaced energy bands per frame
-    fp_floor_db: float = 22.0     # band flatten floor, dB below the peak
+    fp_floor_db: float = _FP_FLOOR_DB
+                                  # band flatten floor, dB below the peak
                                   # band. Robustness/discrimination dial:
                                   # must sit ABOVE the noisiest supported
                                   # codec's per-band quantization floor so

@@ -206,7 +206,10 @@ def wav_header_sr(buf: bytes) -> int:
     while pos + 8 <= len(buf):
         cid, size = buf[pos:pos + 4], struct.unpack("<I", buf[pos + 4:pos + 8])[0]
         if cid == b"fmt ":
-            if pos + 24 > len(buf):
+            # validate the DECLARED size like _decode_wav does — a fmt
+            # chunk declaring < 16 bytes must fail HERE (this is the
+            # ingest gate), not later inside the signature stage
+            if size < 16 or pos + 8 + size > len(buf):
                 raise ValueError("WAVE fmt chunk shorter than 16 bytes")
             return int(struct.unpack("<HHIIHH", buf[pos + 8:pos + 24])[2])
         pos += 8 + size + (size & 1)

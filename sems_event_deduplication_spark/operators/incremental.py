@@ -284,6 +284,20 @@ def append_to_index(
     """
     import os as _os
 
+    if getattr(wh, "use_iceberg", False):
+        # the increment layout below is a parquet-directory protocol
+        # (batch dirs + commit markers); on Iceberg the equivalent is a
+        # native transactional append/MERGE into the signatures table,
+        # which this sandbox cannot integration-test (no runtime jar —
+        # DEPLOYMENT.md records the attempted run). Fail loudly rather
+        # than writing catalog identifiers containing '/' and '=' that
+        # load_index would never read back.
+        raise NotImplementedError(
+            "append_to_index implements the parquet-fallback increment "
+            "layout; on an Iceberg catalog append the batch with a "
+            "transactional writeTo(...).append() / MERGE into the "
+            "signatures table instead"
+        )
     sub = f"{name}__inc/batch={batch_id}"
     if n_chunks and n_chunks > 1:
         marker = _os.path.join(wh._path(sub), "_SUCCESS")

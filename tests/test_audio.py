@@ -351,3 +351,24 @@ def test_stft_stride_identity():
             assert np.array_equal(
                 _stft_mag(pcm, 1024, lm_hop)[::r], _stft_mag(pcm, 1024, hop)
             ), (n, hop, lm_hop)
+
+
+def test_wav_header_sr_rejects_short_declared_fmt():
+    """The ingest gate (wav_header_sr) must reject a fmt chunk whose
+    DECLARED size is under 16 bytes — the same payloads _decode_wav
+    rejects — instead of unpacking 16 bytes that span into the next
+    chunk's header and returning a garbage rate (review finding r5)."""
+    import struct
+
+    import pytest
+
+    from sems_event_deduplication_spark.functions.audio import wav_header_sr
+
+    short_fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)[:12]
+    data = b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    chunks = b"fmt " + struct.pack("<I", len(short_fmt)) + short_fmt + data
+    buf = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    with pytest.raises(ValueError, match="fmt chunk"):
+        wav_header_sr(buf)
+    with pytest.raises(ValueError, match="fmt chunk"):
+        decode_pcm(buf, "wav")

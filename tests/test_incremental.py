@@ -312,3 +312,27 @@ def test_incremental_persist_shape_regression(spark, cfg):
         assert n_cached(out["neardup_hits"]) >= 1
     finally:
         release_gated_broadcasts()
+
+
+def test_append_to_index_refuses_iceberg_backend(spark, cfg):
+    """The increment layout is a parquet-directory protocol; on an
+    Iceberg-dispatching warehouse it must fail loudly (the catalog
+    identifier would contain '/' and '=', and load_index would never
+    see a catalog-side increment) — review finding r5."""
+    import tempfile
+
+    from sems_event_deduplication_spark.operators.incremental import (
+        append_to_index,
+    )
+    from sems_event_deduplication_spark.sources.warehouse import WarehouseIO
+
+    wh = WarehouseIO(spark, tempfile.mkdtemp(prefix="wh_ice_"))
+    wh.use_iceberg = True  # mock dispatch, like test_warehouse.py
+    novel = sign_batch(
+        spark.createDataFrame(
+            pd.DataFrame({"clip_id": ["n0"], "transcript": [BASE[0]]})
+        ),
+        cfg,
+    )
+    with pytest.raises(NotImplementedError, match="Iceberg|writeTo"):
+        append_to_index(novel, wh, batch_id="b1")
