@@ -262,6 +262,39 @@ def main() -> None:
         for k, v in saved_skew.items():
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
 
+    # ---- streaming near-dup join (r5 scale path): capture the EXECUTED
+    # micro-batch plan, which shows the StreamingSymmetricHashJoin and
+    # the ReusedExchange proving the sketch prep runs once for both
+    # join sides
+    from sems_event_deduplication_spark.streaming.stream_dedup import (
+        streaming_neardup_join_candidates,
+    )
+
+    stream_src = os.path.join(tempfile.mkdtemp(prefix="plans_stream_"), "docs")
+    spark.range(0, 200, 1, 2).select(
+        F.concat(F.lit("d"), F.col("id")).alias("clip_id"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id").cast("int"))).alias("ts"),
+        F.md5(F.col("id").cast("string")).alias("transcript"),
+    ).write.mode("overwrite").json(stream_src)
+    st_static = spark.read.json(stream_src)
+    st = spark.readStream.schema(st_static.schema).json(stream_src)
+    sq = (
+        streaming_neardup_join_candidates(st, min_est_jaccard=0.5)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("plans_stream_join").start()
+    )
+    try:
+        sq.processAllAvailable()
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            sq.explain()
+        stream_plan = buf.getvalue()
+    finally:
+        sq.stop()
+    assert "StreamingSymmetricHashJoin" in stream_plan
+    assert "ReusedExchange" in stream_plan, "prep no longer shared across sides"
+
     sections = [
         ("signatures (scan -> exact dedup -> Arrow UDFs)", sigs, [
             "the payload-side scan must feed a **BroadcastHashJoin LeftAnti** "
@@ -320,6 +353,18 @@ def main() -> None:
             "(ingest_day), each chunk pass's filter lands in "
             "**PartitionFilters** — the scan opens only that chunk's "
             "directories instead of re-reading the corpus per chunk",
+        ]),
+        ("streaming near-dup join (r5 scale path, EXECUTED micro-batch plan)", stream_plan, [
+            "**StreamingSymmetricHashJoin** on bucket_key with the event-time "
+            "range predicates in the condition — per-key state lives in the "
+            "JVM state store (session conf: RocksDB + stateFormatVersion 3 + "
+            "changelog checkpointing), zero Python operators anywhere in the "
+            "plan",
+            "the right side is a **ReusedExchange** of the left's exchange: "
+            "the sketch prep (normalize -> shingle-hash -> bottom-k -> "
+            "explode) executes ONCE per micro-batch for both join sides",
+            "the KMV estimate is native array expressions inside the "
+            "join/projection — candidate tier-1 verify without a UDF",
         ]),
         ("AQE skew split on the verify join (EXECUTED run)", skew_text, [
             "the LSH star-edge cap bounds bucket-level skew and reports what it "
