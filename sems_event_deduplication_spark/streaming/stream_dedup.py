@@ -131,6 +131,7 @@ def streaming_neardup_candidates(
     min_est_jaccard: float = 0.55,
     sketch_k: int = 64,
     n_bucket_keys: int = 4,
+    bucket_stoplist=None,
 ) -> DataFrame:
     """Online near-dup detection with explicit keyed state
     (``applyInPandasWithState`` — the custom stateful operator the
@@ -167,7 +168,10 @@ def streaming_neardup_candidates(
     State is bounded two ways (non-negotiable over an unbounded
     stream): a FIFO cap of ``max_state_per_bucket`` members per bucket
     and an event-time timeout of ``state_ttl_minutes`` past the
-    watermark, after which idle buckets are evicted.
+    watermark, after which idle buckets are evicted. Known-hot
+    boilerplate keys can additionally be shed BEFORE any state is
+    keyed on them via ``bucket_stoplist`` (see
+    ``_apply_bucket_stoplist`` / ``hot_bucket_keys``).
 
     Measured scale ceiling (bench.py --streaming, 200k events,
     local[32]): 1,069 events/s in r4; 1,416 after r5's shared
@@ -194,7 +198,9 @@ def streaming_neardup_candidates(
     from ..conf import DedupConfig
 
     cfg = cfg or DedupConfig()
-    signed = _sketch_prep(stream, cfg, sketch_k, n_bucket_keys)
+    signed = _apply_bucket_stoplist(
+        _sketch_prep(stream, cfg, sketch_k, n_bucket_keys), bucket_stoplist
+    )
     ttl_ms = state_ttl_minutes * 60 * 1000
 
     SENTINEL = np.iinfo(np.int64).max
@@ -275,6 +281,32 @@ def streaming_neardup_candidates(
     )
 
 
+def _sketch_expr(k: int, sketch_k: int):
+    """Bottom-``sketch_k`` KMV sketch of the k-shingle xxhash64 set of
+    the already-normalized ``__norm`` column, as one codegen'd
+    expression. Shingle -> hash -> distinct on the INT64 hashes ->
+    sort -> bottom k. Equivalent to hashing char_shingles'
+    distinct-string output (hash of duplicate shingles = duplicate
+    hashes; dedup commutes with hashing up to 2^-64 collisions) but
+    the dedup compares 8-byte longs instead of UTF8 strings — measured
+    ~2x cheaper per doc, and the prep is the single largest cost of
+    the streaming operators. Shared by the streaming prep and the
+    batch-side ``hot_bucket_keys`` so both enumerate the SAME key
+    space."""
+    n = F.length(F.col("__norm"))
+    hashes = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.xxhash64(F.substr(F.col("__norm"), i, F.lit(k))),
+        ),
+    ).otherwise(
+        F.when(n > 0, F.array(F.xxhash64(F.col("__norm"))))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return F.slice(F.array_sort(F.array_distinct(hashes)), 1, sketch_k)
+
+
 def _sketch_prep(
     stream: DataFrame, cfg, sketch_k: int, n_bucket_keys: int
 ) -> DataFrame:
@@ -294,36 +326,81 @@ def _sketch_prep(
     # being shuffled are small (id + ts + transcript).
     n_parts = stream.sparkSession.sparkContext.defaultParallelism
     norm = normalize_text(F.col("transcript"))
-    k = cfg.shingle_k
-    # shingle -> hash -> distinct on the INT64 hashes -> sort -> bottom
-    # k. Equivalent to hashing char_shingles' distinct-string output
-    # (hash of duplicate shingles = duplicate hashes; dedup commutes
-    # with hashing up to 2^-64 collisions) but the dedup compares 8-byte
-    # longs instead of UTF8 strings — measured ~2x cheaper per doc, and
-    # the prep is the single largest cost of the streaming operators.
-    n = F.length(F.col("__norm"))
-    hashes = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(k - 1)),
-            lambda i: F.xxhash64(F.substr(F.col("__norm"), i, F.lit(k))),
-        ),
-    ).otherwise(
-        F.when(n > 0, F.array(F.xxhash64(F.col("__norm"))))
-        .otherwise(F.array().cast("array<bigint>"))
-    )
     return (
         stream.repartition(n_parts, "clip_id")
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withColumn("__norm", norm)
-        .withColumn(
-            "__sketch",
-            F.slice(F.array_sort(F.array_distinct(hashes)), 1, sketch_k),
-        )
+        .withColumn("__sketch", _sketch_expr(cfg.shingle_k, sketch_k))
         .select(
             "clip_id", "ts", "__sketch",
             F.explode(F.slice(F.col("__sketch"), 1, n_bucket_keys)).alias("bucket_key"),
         )
+    )
+
+
+def _apply_bucket_stoplist(signed: DataFrame, bucket_stoplist) -> DataFrame:
+    """Drop exploded bucket-key rows whose key is stop-listed, BEFORE
+    any state is keyed on them — a stop-listed key therefore holds
+    zero join/operator state on either side.
+
+    ``bucket_stoplist`` is either an iterable of int64 key values
+    (compiled to a literal ``isin`` — zero extra state or exchange) or
+    a STATIC DataFrame with a ``bucket_key`` column (broadcast
+    stream-static left-anti join — supported in append mode with the
+    stream on the left), e.g. the output of ``hot_bucket_keys`` over a
+    historical batch.
+
+    Recall accounting (callers should size ``n_bucket_keys`` with this
+    in mind): a pair's miss bound is (1-J)^n over its n bucket keys;
+    stop-listing s of them degrades that pair's bound to (1-J)^(n-s).
+    A pair ALL of whose shared bottom keys are stop-listed is — by
+    construction of the list — boilerplate-dominated, exactly the
+    traffic the list exists to shed."""
+    if bucket_stoplist is None:
+        return signed
+    if isinstance(bucket_stoplist, DataFrame):
+        stop = bucket_stoplist.select(
+            F.col("bucket_key").cast("bigint").alias("bucket_key")
+        ).distinct()
+        return signed.join(F.broadcast(stop), "bucket_key", "left_anti")
+    vals = [int(v) for v in bucket_stoplist]
+    if not vals:
+        return signed
+    return signed.filter(~F.col("bucket_key").isin(vals))
+
+
+def hot_bucket_keys(
+    batch: DataFrame, cfg=None, n_bucket_keys: int = 4, min_members: int = 256
+) -> DataFrame:
+    """Hot-key report for the STREAMING operators' key space: the
+    bucket keys (bottom-``n_bucket_keys`` shingle hashes, the exact
+    ``_sketch_expr`` the streaming prep uses) that at least
+    ``min_members`` rows of a historical batch would have landed on.
+
+    The batch tier's ``lsh_stats`` reports hot BAND hashes — a
+    different key space than the streaming bottom-k keys — so a
+    streaming deployment derives its stop-list here instead: run over
+    yesterday's corpus (or the exact-dedup survivors), persist the
+    result, and pass it (or its collected values) as
+    ``bucket_stoplist``. A key this common is boilerplate by
+    definition: at bucket size m the join would hold m rows of state
+    per side and emit O(m^2) candidate pairs that downstream exact
+    verification would reject or CC would merge into one mega-cluster.
+
+    Returns (bucket_key, n_members), descending by count. One explode
+    + one partial-agg groupBy; no payload columns ride the shuffle."""
+    from ..conf import DedupConfig
+
+    cfg = cfg or DedupConfig()
+    return (
+        batch.withColumn("__norm", normalize_text(F.col("transcript")))
+        # sketch_k = n_bucket_keys: only the exploded key prefix matters
+        .withColumn("__sketch", _sketch_expr(cfg.shingle_k, n_bucket_keys))
+        .select(F.explode("__sketch").alias("bucket_key"))
+        .groupBy("bucket_key")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= min_members)
+        .orderBy(F.desc("n_members"), "bucket_key")
     )
 
 
@@ -352,6 +429,7 @@ def streaming_neardup_join_candidates(
     min_est_jaccard: float = 0.55,
     sketch_k: int = 32,
     n_bucket_keys: int = 4,
+    bucket_stoplist=None,
 ) -> DataFrame:
     """Online near-dup candidates as a NATIVE stream-stream self-join —
     the scale path (r5), replacing per-group Python dispatch with
@@ -388,10 +466,12 @@ def streaming_neardup_join_candidates(
       horizon). The stateful op also FIFO-caps members per bucket
       (``max_state_per_bucket``) — under a hot boilerplate bucket the
       join emits the full quadratic pair set where the cap would
-      degrade recall to the newest members. At production rates pair
-      the join with an upstream hot-key stop-list (the batch tier's
-      ``lsh_stats`` reports exactly which band values run hot) the
-      same way the batch candidate join star-caps its buckets.
+      degrade recall to the newest members. At production rates pass
+      ``bucket_stoplist`` — a list of key values or a static
+      DataFrame from ``hot_bucket_keys`` over a historical batch —
+      which drops stop-listed keys BEFORE the join keys state on them
+      (``_apply_bucket_stoplist``), the same way the batch candidate
+      join star-caps its buckets.
     - A duplicate arriving LATER than the horizon pairs with nothing —
       the same bounded-state tradeoff the other two operators document.
 
@@ -420,7 +500,9 @@ def streaming_neardup_join_candidates(
     from ..conf import DedupConfig
 
     cfg = cfg or DedupConfig()
-    signed = _sketch_prep(stream, cfg, sketch_k, n_bucket_keys)
+    signed = _apply_bucket_stoplist(
+        _sketch_prep(stream, cfg, sketch_k, n_bucket_keys), bucket_stoplist
+    )
     wm = signed.withWatermark("ts", watermark)
     l, r = wm.alias("l"), wm.alias("r")
     cond = (

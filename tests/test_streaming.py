@@ -228,3 +228,64 @@ def test_streaming_neardup_join_candidates(spark):
     # at-least-once: repeats are the canonical row, never a mirror
     assert len(raw) > len(got), raw
     assert all(a < b for a, b in raw), raw
+
+
+def test_streaming_join_bucket_stoplist(spark):
+    """Hot-bucket shedding: a boilerplate transcript repeated 10x emits
+    the full quadratic pair set (45 pairs) without a stop-list; with
+    the keys reported by ``hot_bucket_keys`` over the same corpus
+    stop-listed, those pairs vanish while an unrelated genuine dup
+    pair is still found. Both stop-list forms (static DataFrame ->
+    stream-static left-anti; collected values -> literal isin) must
+    agree."""
+    from sems_event_deduplication_spark.streaming.stream_dedup import (
+        hot_bucket_keys,
+        streaming_neardup_join_candidates,
+    )
+
+    d = tempfile.mkdtemp(prefix="stream_stop_")
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        {"clip_id": f"boiler{i:02d}", "ts": base + pd.Timedelta(minutes=i),
+         "transcript": "subscribe to our newsletter for daily updates and alerts"}
+        for i in range(10)
+    ]
+    rows.append({"clip_id": "orig", "ts": base + pd.Timedelta(minutes=12),
+                 "transcript": "cyclone eloise slams into mozambique overnight "
+                               "with torrential rain and flooding"})
+    rows.append({"clip_id": "echo", "ts": base + pd.Timedelta(minutes=14),
+                 "transcript": "cyclone eloise slams into mozambique overnight "
+                               "with torrential rain and flooding reports"})
+    path = os.path.join(d, "batch")
+    spark.createDataFrame(pd.DataFrame(rows)).write.json(path)
+    static = spark.read.json(path)
+
+    def run(tag, stoplist):
+        stream = spark.readStream.schema(static.schema).json(path)
+        pairs = streaming_neardup_join_candidates(
+            stream, min_est_jaccard=0.5, n_bucket_keys=4,
+            bucket_stoplist=stoplist,
+        )
+        name = run_stream_to_memory(pairs, f"t_stop_{tag}", "append")
+        return {(r["id_a"], r["id_b"]) for r in spark.table(name).collect()}
+
+    boiler = {(f"boiler{i:02d}", f"boiler{j:02d}")
+              for i in range(10) for j in range(i + 1, 10)}
+    genuine = ("echo", "orig")  # canonical (least, greatest)
+
+    no_stop = run("none", None)
+    assert genuine in no_stop
+    assert boiler <= no_stop  # quadratic hot-bucket traffic
+
+    hot = hot_bucket_keys(static, n_bucket_keys=4, min_members=5)
+    hot_rows = hot.collect()
+    # exactly the boilerplate's 4 bottom keys run hot (10 members each);
+    # the genuine pair's keys appear at most twice
+    assert len(hot_rows) == 4 and all(r["n_members"] == 10 for r in hot_rows)
+
+    stopped_df = run("df", hot)
+    assert stopped_df & boiler == set()
+    assert genuine in stopped_df
+
+    stopped_list = run("list", [r["bucket_key"] for r in hot_rows])
+    assert stopped_list == stopped_df
