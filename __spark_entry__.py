@@ -640,6 +640,29 @@ def q_stream_neardup_join(spark, sf_dir):
     return spark.table(name).select("id_a", "id_b").distinct()
 
 
+def q_hot_bucket_keys(spark, sf_dir):
+    """Stop-list derivation for the streaming operators
+    (``hot_bucket_keys``, the r5 hot-key shedding tier) in its
+    DuckDB-checkable md5 twin: each normalized document's bottom-4
+    distinct 9-shingle hashes ARE the streaming bucket keys
+    (single-permutation bottom-k MinHash); report every key that >= 2
+    documents would land on, i.e. every key that would hold any join
+    state at all. Same operator code and key enumeration as production
+    — only the hash is xxhash64 -> md5 so the oracle can recompute it
+    (the int64 production path is pytest-covered in
+    tests/test_streaming.py)."""
+    from sems_event_deduplication_spark.streaming.stream_dedup import (
+        hot_bucket_keys,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("transcript")
+    )
+    return hot_bucket_keys(
+        d, n_bucket_keys=4, min_members=2, hash_fn=F.md5, hash_type="string"
+    )
+
+
 def q_audio_dedup_clusters(spark, sf_dir):
     """The flagship audio+text pipeline on the deterministic synthetic
     corpus (pandas/Arrow UDF path — not SQL-expressible), returned as a
@@ -1299,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_event_counts": q_stream_event_counts,
         "stream_neardup_candidates": q_stream_neardup_candidates,
         "stream_neardup_join": q_stream_neardup_join,
+        "hot_bucket_keys": q_hot_bucket_keys,
         "audio_dedup_clusters": q_audio_dedup_clusters,
         "audio_offset_pairs": q_audio_offset_pairs,
         "classification_report": q_classification_report,
@@ -1426,6 +1450,32 @@ def oracle_sql() -> dict[str, str]:
                    min(md5('2:' || sh)) AS slot_2,
                    min(md5('3:' || sh)) AS slot_3
             FROM ({_SHINGLES}) GROUP BY doc_id
+        """,
+        # hot_bucket_keys md5 twin: normalize -> distinct 9-shingle md5s
+        # -> bottom-4 per doc (the streaming bucket keys) -> per-key doc
+        # count, keys with >= 2 members. Mirrors _sketch_expr's len<k
+        # whole-string branch and drops len=0 docs, like the operator.
+        "hot_bucket_keys": f"""
+            WITH norm AS (
+              SELECT doc_id, {_NORM.format(src="text")} AS t FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, md5(sh) AS h FROM (
+                SELECT n0.doc_id, substring(n0.t, CAST(i.i AS INT), 9) AS sh
+                FROM norm n0
+                JOIN (SELECT unnest(generate_series(1, 100000)) AS i) i
+                  ON i.i <= length(n0.t) - 8
+                UNION ALL
+                SELECT doc_id, t AS sh FROM norm
+                WHERE length(t) BETWEEN 1 AND 8)
+            ), botn AS (
+              SELECT doc_id, h FROM (
+                SELECT doc_id, h,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+                FROM sh) WHERE rn <= 4
+            )
+            SELECT h AS bucket_key, count(*) AS n_members
+            FROM botn GROUP BY 1 HAVING count(*) >= 2
+            ORDER BY n_members DESC, bucket_key
         """,
         "text_simhash": f"""{_SIMHASH_SQL}
         """,

@@ -281,7 +281,7 @@ def streaming_neardup_candidates(
     )
 
 
-def _sketch_expr(k: int, sketch_k: int):
+def _sketch_expr(k: int, sketch_k: int, hash_fn=F.xxhash64, hash_type: str = "bigint"):
     """Bottom-``sketch_k`` KMV sketch of the k-shingle xxhash64 set of
     the already-normalized ``__norm`` column, as one codegen'd
     expression. Shingle -> hash -> distinct on the INT64 hashes ->
@@ -292,17 +292,21 @@ def _sketch_expr(k: int, sketch_k: int):
     ~2x cheaper per doc, and the prep is the single largest cost of
     the streaming operators. Shared by the streaming prep and the
     batch-side ``hot_bucket_keys`` so both enumerate the SAME key
-    space."""
+    space.
+
+    ``hash_fn``/``hash_type`` exist for the DuckDB-checkable contract
+    twin (md5/string — an oracle can recompute it); production callers
+    always take the xxhash64/bigint default."""
     n = F.length(F.col("__norm"))
     hashes = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - F.lit(k - 1)),
-            lambda i: F.xxhash64(F.substr(F.col("__norm"), i, F.lit(k))),
+            lambda i: hash_fn(F.substr(F.col("__norm"), i, F.lit(k))),
         ),
     ).otherwise(
-        F.when(n > 0, F.array(F.xxhash64(F.col("__norm"))))
-        .otherwise(F.array().cast("array<bigint>"))
+        F.when(n > 0, F.array(hash_fn(F.col("__norm"))))
+        .otherwise(F.array().cast(f"array<{hash_type}>"))
     )
     return F.slice(F.array_sort(F.array_distinct(hashes)), 1, sketch_k)
 
@@ -370,7 +374,12 @@ def _apply_bucket_stoplist(signed: DataFrame, bucket_stoplist) -> DataFrame:
 
 
 def hot_bucket_keys(
-    batch: DataFrame, cfg=None, n_bucket_keys: int = 4, min_members: int = 256
+    batch: DataFrame,
+    cfg=None,
+    n_bucket_keys: int = 4,
+    min_members: int = 256,
+    hash_fn=F.xxhash64,
+    hash_type: str = "bigint",
 ) -> DataFrame:
     """Hot-key report for the STREAMING operators' key space: the
     bucket keys (bottom-``n_bucket_keys`` shingle hashes, the exact
@@ -395,7 +404,10 @@ def hot_bucket_keys(
     return (
         batch.withColumn("__norm", normalize_text(F.col("transcript")))
         # sketch_k = n_bucket_keys: only the exploded key prefix matters
-        .withColumn("__sketch", _sketch_expr(cfg.shingle_k, n_bucket_keys))
+        .withColumn(
+            "__sketch",
+            _sketch_expr(cfg.shingle_k, n_bucket_keys, hash_fn, hash_type),
+        )
         .select(F.explode("__sketch").alias("bucket_key"))
         .groupBy("bucket_key")
         .agg(F.count(F.lit(1)).alias("n_members"))
