@@ -1455,6 +1455,9 @@ def oracle_sql() -> dict[str, str]:
         # -> bottom-4 per doc (the streaming bucket keys) -> per-key doc
         # count, keys with >= 2 members. Mirrors _sketch_expr's len<k
         # whole-string branch and drops len=0 docs, like the operator.
+        # Same generate_series bound convention as _SHINGLES: 100k
+        # positions is far above any driver-table document length (the
+        # 9 in substring/-8 is the shared shingle size K).
         "hot_bucket_keys": f"""
             WITH norm AS (
               SELECT doc_id, {_NORM.format(src="text")} AS t FROM documents

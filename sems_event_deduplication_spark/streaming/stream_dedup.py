@@ -349,10 +349,19 @@ def _apply_bucket_stoplist(signed: DataFrame, bucket_stoplist) -> DataFrame:
 
     ``bucket_stoplist`` is either an iterable of int64 key values
     (compiled to a literal ``isin`` — zero extra state or exchange) or
-    a STATIC DataFrame with a ``bucket_key`` column (broadcast
-    stream-static left-anti join — supported in append mode with the
-    stream on the left), e.g. the output of ``hot_bucket_keys`` over a
-    historical batch.
+    a STATIC DataFrame with an INTEGRAL ``bucket_key`` column
+    (broadcast stream-static left-anti join — supported in append mode
+    with the stream on the left), e.g. the output of
+    ``hot_bucket_keys`` over a historical batch. A string-keyed frame
+    (e.g. the md5 contract twin of ``hot_bucket_keys``) is rejected
+    loudly: casting it to bigint would yield NULLs and the anti-join
+    would silently shed nothing. The key frame is persisted and
+    materialized HERE, once — the static side of a stream-static join
+    is re-evaluated every micro-batch, so an unpersisted
+    ``hot_bucket_keys`` plan would re-run its full historical
+    scan/aggregation per batch; it stays pinned for the life of the
+    streaming query (stop lists are small by construction:
+    ``min_members`` bounds the key count at n_rows/min_members).
 
     Recall accounting (callers should size ``n_bucket_keys`` with this
     in mind): a pair's miss bound is (1-J)^n over its n bucket keys;
@@ -363,9 +372,22 @@ def _apply_bucket_stoplist(signed: DataFrame, bucket_stoplist) -> DataFrame:
     if bucket_stoplist is None:
         return signed
     if isinstance(bucket_stoplist, DataFrame):
-        stop = bucket_stoplist.select(
-            F.col("bucket_key").cast("bigint").alias("bucket_key")
-        ).distinct()
+        dtype = dict(bucket_stoplist.dtypes).get("bucket_key")
+        if dtype not in ("bigint", "int", "smallint", "tinyint"):
+            raise ValueError(
+                "bucket_stoplist DataFrame needs an integral bucket_key "
+                f"column matching the streaming key space (got {dtype!r}; "
+                "a string-keyed frame such as the md5 contract twin of "
+                "hot_bucket_keys would cast to NULL and shed nothing)"
+            )
+        stop = (
+            bucket_stoplist.select(
+                F.col("bucket_key").cast("bigint").alias("bucket_key")
+            )
+            .distinct()
+            .persist()
+        )
+        stop.count()  # materialize once, not once per micro-batch
         return signed.join(F.broadcast(stop), "bucket_key", "left_anti")
     vals = [int(v) for v in bucket_stoplist]
     if not vals:

@@ -240,6 +240,7 @@ def test_streaming_join_bucket_stoplist(spark):
     agree."""
     from sems_event_deduplication_spark.streaming.stream_dedup import (
         hot_bucket_keys,
+        streaming_neardup_candidates,
         streaming_neardup_join_candidates,
     )
 
@@ -289,3 +290,26 @@ def test_streaming_join_bucket_stoplist(spark):
 
     stopped_list = run("list", [r["bucket_key"] for r in hot_rows])
     assert stopped_list == stopped_df
+
+    # the stateful (applyInPandasWithState) operator shares the same
+    # shedding, including the stream-static anti-join composed with its
+    # different stateful-planning path (DataFrame form on purpose)
+    stream = spark.readStream.schema(static.schema).json(path)
+    pairs = streaming_neardup_candidates(
+        stream, min_est_jaccard=0.5, n_bucket_keys=4, bucket_stoplist=hot
+    )
+    name = run_stream_to_memory(pairs, "t_stop_stateful", "append")
+    stateful = {(r["id_a"], r["id_b"]) for r in spark.table(name).collect()}
+    assert stateful & boiler == set()
+    assert genuine in stateful
+
+    # a string-keyed stop-list (e.g. the md5 contract twin) must fail
+    # loudly instead of casting to NULL and silently shedding nothing
+    md5_twin = hot_bucket_keys(
+        static, n_bucket_keys=4, min_members=5, hash_fn=F.md5, hash_type="string"
+    )
+    with pytest.raises(ValueError, match="integral bucket_key"):
+        streaming_neardup_join_candidates(
+            spark.readStream.schema(static.schema).json(path),
+            min_est_jaccard=0.5, n_bucket_keys=4, bucket_stoplist=md5_twin,
+        )
