@@ -165,17 +165,25 @@ def q_minhash_md5_signature(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    sh = char_shingles(F.col("text"), K)
+    # materialize the shingle array ONCE in its own projection: inlined
+    # into each slot, char_shingles (sequence + substr + array_distinct)
+    # was evaluated 4x per row (plan-verified, plans/r06/) — the alias
+    # is referenced by all four slots and is non-cheap, so
+    # CollapseProject keeps the projection separate and the distinct
+    # shingle set is computed a single time per document
+    shingled = d.select(
+        "doc_id", char_shingles(F.col("text"), K).alias("__sh")
+    )
 
     def slot(p: int):
         # NB: a 2-arg lambda in F.transform means (element, index) — a
         # closure factory keeps the salt a plan-time literal.
         prefix = F.lit(f"{p}:")
         return F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(prefix, s)))
+            F.transform(F.col("__sh"), lambda s: F.md5(F.concat(prefix, s)))
         ).alias(f"slot_{p}")
 
-    return d.select("doc_id", *[slot(p) for p in range(4)])
+    return shingled.select("doc_id", *[slot(p) for p in range(4)])
 
 
 _SIMHASH_BITS = 16
@@ -335,8 +343,19 @@ def q_date_coverage(spark, sf_dir):
 def q_lineitem_agg(spark, sf_dir):
     """A-generic (TPC-H Q1 shape) with exact decimal sums."""
     li = _t(spark, sf_dir, "lineitem")
+    # the driver table is a single parquet row group, so the scan —
+    # and with it the whole decimal aggregation — runs in ONE task;
+    # project to the 5 needed columns (narrow shuffle) and spread the
+    # aggregation across the cores (guide §2.5 input skew: repartition
+    # right after an unsplittable read). Aggregation is commutative/
+    # associative over exact decimals, so results are bit-identical.
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount",
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
@@ -367,15 +386,32 @@ def q_revenue_by_segment(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # Pre-aggregate lineitem revenue per order BEFORE the join: the
+    # 600k-row probe side shrinks 4x to one row per order, the
+    # countDistinct expand disappears (orderkey is unique after the
+    # pre-agg, so n_orders is a plain count), and the join runs over
+    # the shuffled 32 partitions instead of inside the single-row-group
+    # scan task (guide §2.3 "aggregate before you shuffle", §3).
+    # Equivalence: decimal sums are exact and associative, so
+    # sum(per-order sums) == the flat sum bit for bit, and each
+    # o_orderkey appears at most once post-agg, so count(1) ==
+    # countDistinct(o_orderkey). Inner joins drop the same rows.
+    li_per_order = (
+        li.select(
+            "l_orderkey",
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .cast("decimal(18,6)").alias("__rev"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("__rev").alias("__order_rev"))
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li_per_order.join(o, li_per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,6)")
-            ).cast("double").alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum("__order_rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
     )
 

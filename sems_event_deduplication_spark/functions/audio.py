@@ -253,9 +253,21 @@ def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
     return 10.0 * np.log10(p_sig / p_noise)
 
 
+_BAND_EDGE_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
 def _band_edges(n_bins: int, n_bands: int) -> np.ndarray:
     """n_bands+1 strictly increasing log-spaced bin edges in [1, n_bins-1];
-    rounding collapses the low end, so gaps are back-filled linearly."""
+    rounding collapses the low end, so gaps are back-filled linearly.
+
+    Cached per (n_bins, n_bands): the edges are a pure function of the
+    two ints, and the logspace/unique/backfill was measured at ~40% of
+    ``fingerprint_from_mag`` when recomputed per clip (r6 profile —
+    pure overhead in the per-clip hot loop at 100 TB)."""
+    key = (n_bins, n_bands)
+    cached = _BAND_EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
     edges = np.unique(
         np.clip(
             np.round(np.logspace(0, np.log10(n_bins - 1), n_bands + 1)).astype(np.int64),
@@ -267,6 +279,7 @@ def _band_edges(n_bins: int, n_bands: int) -> np.ndarray:
         have = set(edges.tolist())
         fill = [x for x in range(1, n_bins) if x not in have][: n_bands + 1 - len(edges)]
         edges = np.sort(np.concatenate([edges, np.asarray(fill, dtype=np.int64)]))
+    _BAND_EDGE_CACHE[key] = edges
     return edges
 
 
@@ -279,9 +292,12 @@ def _stft_mag(pcm: np.ndarray, frame: int, hop: int) -> np.ndarray:
     exploits this to run ONE FFT for both hop configs."""
     if len(pcm) < frame:
         pcm = np.pad(pcm, (0, frame - len(pcm)))
-    n_frames = 1 + (len(pcm) - frame) // hop
-    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
-    frames = pcm[idx] * _hann(frame)[None, :]
+    # strided view instead of a fancy-index gather: the old path built
+    # an (n_frames, frame) int64 index matrix AND a gathered copy per
+    # clip; the view costs nothing and the hann multiply produces the
+    # bit-identical windowed frames (r6 profile: ~25% off the STFT leg
+    # of the per-clip fingerprint cost)
+    frames = np.lib.stride_tricks.sliding_window_view(pcm, frame)[::hop] * _hann(frame)
     return np.abs(np.fft.rfft(frames, axis=1))
 
 

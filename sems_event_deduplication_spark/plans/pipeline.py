@@ -370,6 +370,7 @@ class DedupPipeline:
         ).persist()
         sized_audio = None
         sized_lm = None
+        stats_future = None
         # everything from candidates through verified runs under one
         # try/finally: an exception anywhere in between must not leak
         # the persisted band-bucket frames into executor storage for the
@@ -460,8 +461,39 @@ class DedupPipeline:
                         "kind", F.lit("landmarks")
                     )
                 )
+            # stats collect OVERLAPS the CC fixpoint (guide §2.6:
+            # overlap independent jobs): the stats read only the
+            # persisted band-bucket caches, while CC reads the two
+            # committed edge tables — no shared lineage. The stats job
+            # is submitted from a helper thread here and joined before
+            # the caches unpersist; the recorded metric is the time the
+            # critical path actually BLOCKED on it (normally ~0: the
+            # fixpoint jobs are longer than the one cached partial agg).
+            from concurrent.futures import ThreadPoolExecutor
+
+            stats_pool = ThreadPoolExecutor(max_workers=1)
+            stats_future = stats_pool.submit(stats_df.collect)
+            stats_pool.shutdown(wait=False)  # thread finishes its one job
+
+            # ---- connected components (overlapped with stats) ----------
+            all_edges = verified.select("id_a", "id_b").unionByName(
+                exact_edges.select("id_a", "id_b")
+            )
+            t_cc = time.monotonic()
+            cc_info: dict = {}
+            comp = connected_components(
+                all_edges, "id_a", "id_b", cfg.cc_max_iterations,
+                local_threshold=cfg.cc_local_edges, info=cc_info,
+            )
+            # the fixpoint's driver jobs (fingerprint collects / union-find
+            # collect) run inside the call above — surface them as their own
+            # metric so the fixed-latency floor is observable per run
+            metrics.append(
+                StageMetric("cc_fixpoint", cc_info.get("n_edges", -1), time.monotonic() - t_cc)
+            )
+
             t_stats = time.monotonic()
-            for row in stats_df.collect():
+            for row in stats_future.result():
                 d = row.asDict()
                 kind = d.pop("kind")
                 lsh_stats[kind] = {k: int(v or 0) for k, v in d.items()}
@@ -469,28 +501,19 @@ class DedupPipeline:
                 StageMetric("lsh_stats_collect", -1, time.monotonic() - t_stats)
             )
         finally:
+            # an exception path must still wait for the in-flight stats
+            # job before unpersisting the caches it reads (unpersist
+            # under a running job is safe but silently recomputes the
+            # whole explode+window lineage)
+            if stats_future is not None:
+                from concurrent.futures import wait as _fwait
+
+                _fwait([stats_future])
             sized_text.unpersist()
             if sized_audio is not None:
                 sized_audio.unpersist()
             if sized_lm is not None:
                 sized_lm.unpersist()
-
-        # ---- connected components -----------------------------------------
-        all_edges = verified.select("id_a", "id_b").unionByName(
-            exact_edges.select("id_a", "id_b")
-        )
-        t_cc = time.monotonic()
-        cc_info: dict = {}
-        comp = connected_components(
-            all_edges, "id_a", "id_b", cfg.cc_max_iterations,
-            local_threshold=cfg.cc_local_edges, info=cc_info,
-        )
-        # the fixpoint's driver jobs (fingerprint collects / union-find
-        # collect) run inside the call above — surface them as their own
-        # metric so the fixed-latency floor is observable per run
-        metrics.append(
-            StageMetric("cc_fixpoint", cc_info.get("n_edges", -1), time.monotonic() - t_cc)
-        )
         lsh_stats["cc"] = cc_info
         clustered = assign_components(
             normalized.select("clip_id", "transcript_norm"), comp
