@@ -46,6 +46,10 @@ def get_spark(
             os.environ.get("SPARK_ARROW_BATCH", "10000"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JVM_OPTS", ""),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # streaming state (r5): RocksDB provider with changelog

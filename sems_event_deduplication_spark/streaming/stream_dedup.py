@@ -342,6 +342,33 @@ def _sketch_prep(
     )
 
 
+# persisted stop-key frames, keyed by the identity of the caller's
+# input (the strong reference in the registry keeps the key stable):
+# the same hot_bucket_keys frame passed to BOTH streaming operators —
+# the documented deployment shape — now pins ONE cached copy instead of
+# one per operator call, and `release_stoplists()` unpersists them all
+# when the queries stop (ADVICE r5: per-call persist leak).
+_STOPLIST_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
+
+# a literal isin above this many values bloats the plan/codegen that
+# every micro-batch re-compiles; past it the value list becomes a
+# DataFrame and takes the broadcast anti-join path instead
+_STOPLIST_ISIN_MAX = 4096
+
+
+def release_stoplists() -> int:
+    """Unpersist every stop-key frame `_apply_bucket_stoplist` pinned
+    and clear the registry; returns how many were released. Call after
+    the streaming queries using them have stopped (a long-lived driver
+    running many queries otherwise accumulates pinned frames)."""
+    n = 0
+    for _src, cached in _STOPLIST_CACHE.values():
+        cached.unpersist()
+        n += 1
+    _STOPLIST_CACHE.clear()
+    return n
+
+
 def _apply_bucket_stoplist(signed: DataFrame, bucket_stoplist) -> DataFrame:
     """Drop exploded bucket-key rows whose key is stop-listed, BEFORE
     any state is keyed on them — a stop-listed key therefore holds
@@ -359,9 +386,12 @@ def _apply_bucket_stoplist(signed: DataFrame, bucket_stoplist) -> DataFrame:
     materialized HERE, once — the static side of a stream-static join
     is re-evaluated every micro-batch, so an unpersisted
     ``hot_bucket_keys`` plan would re-run its full historical
-    scan/aggregation per batch; it stays pinned for the life of the
-    streaming query (stop lists are small by construction:
-    ``min_members`` bounds the key count at n_rows/min_members).
+    scan/aggregation per batch; the persisted copy is registered per
+    INPUT frame (passing the same frame to both streaming operators
+    reuses one cache instead of pinning two) and released by
+    ``release_stoplists()`` once the queries stop. Value lists larger
+    than ``_STOPLIST_ISIN_MAX`` also take the anti-join path — a
+    100k-value literal ``isin`` would be re-codegen'd per micro-batch.
 
     Recall accounting (callers should size ``n_bucket_keys`` with this
     in mind): a pair's miss bound is (1-J)^n over its n bucket keys;
@@ -371,15 +401,32 @@ def _apply_bucket_stoplist(signed: DataFrame, bucket_stoplist) -> DataFrame:
     traffic the list exists to shed."""
     if bucket_stoplist is None:
         return signed
-    if isinstance(bucket_stoplist, DataFrame):
-        dtype = dict(bucket_stoplist.dtypes).get("bucket_key")
-        if dtype not in ("bigint", "int", "smallint", "tinyint"):
-            raise ValueError(
-                "bucket_stoplist DataFrame needs an integral bucket_key "
-                f"column matching the streaming key space (got {dtype!r}; "
-                "a string-keyed frame such as the md5 contract twin of "
-                "hot_bucket_keys would cast to NULL and shed nothing)"
-            )
+    if not isinstance(bucket_stoplist, DataFrame):
+        vals = [int(v) for v in bucket_stoplist]
+        if not vals:
+            return signed
+        if len(vals) <= _STOPLIST_ISIN_MAX:
+            return signed.filter(~F.col("bucket_key").isin(vals))
+        # a huge literal list (min_members bounds the count only at
+        # n_rows/min_members) would become a giant expression tree
+        # recompiled per micro-batch — route it through the same
+        # broadcast anti-join as the DataFrame form instead
+        spark = signed.sparkSession
+        bucket_stoplist = spark.createDataFrame(
+            [(v,) for v in vals], "bucket_key bigint"
+        )
+    dtype = dict(bucket_stoplist.dtypes).get("bucket_key")
+    if dtype not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            "bucket_stoplist DataFrame needs an integral bucket_key "
+            f"column matching the streaming key space (got {dtype!r}; "
+            "a string-keyed frame such as the md5 contract twin of "
+            "hot_bucket_keys would cast to NULL and shed nothing)"
+        )
+    cached_entry = _STOPLIST_CACHE.get(id(bucket_stoplist))
+    if cached_entry is not None and cached_entry[0] is bucket_stoplist:
+        stop = cached_entry[1]
+    else:
         stop = (
             bucket_stoplist.select(
                 F.col("bucket_key").cast("bigint").alias("bucket_key")
@@ -388,11 +435,8 @@ def _apply_bucket_stoplist(signed: DataFrame, bucket_stoplist) -> DataFrame:
             .persist()
         )
         stop.count()  # materialize once, not once per micro-batch
-        return signed.join(F.broadcast(stop), "bucket_key", "left_anti")
-    vals = [int(v) for v in bucket_stoplist]
-    if not vals:
-        return signed
-    return signed.filter(~F.col("bucket_key").isin(vals))
+        _STOPLIST_CACHE[id(bucket_stoplist)] = (bucket_stoplist, stop)
+    return signed.join(F.broadcast(stop), "bucket_key", "left_anti")
 
 
 def hot_bucket_keys(
@@ -402,6 +446,7 @@ def hot_bucket_keys(
     min_members: int = 256,
     hash_fn=F.xxhash64,
     hash_type: str = "bigint",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Hot-key report for the STREAMING operators' key space: the
     bucket keys (bottom-``n_bucket_keys`` shingle hashes, the exact
@@ -419,22 +464,45 @@ def hot_bucket_keys(
     verification would reject or CC would merge into one mega-cluster.
 
     Returns (bucket_key, n_members), descending by count. One explode
-    + one partial-agg groupBy; no payload columns ride the shuffle."""
+    + one partial-agg groupBy; no payload columns ride the shuffle.
+
+    ``id_col``: when set, ``n_members`` counts DISTINCT ids per key
+    instead of rows. A historical batch with repeated clip rows (the
+    common shape BEFORE exact dedup) otherwise inflates the count and
+    can stop-list a key whose distinct-document population is below
+    ``min_members`` — silently shedding recall for it (ADVICE r5).
+    Pass the batch's id column unless the input is known to be
+    exact-dedup survivors; the default stays row-count so derivations
+    over already-deduped corpora keep the single-pass partial-agg
+    plan (distinct counting adds one exchange on (key, id))."""
     from ..conf import DedupConfig
 
     cfg = cfg or DedupConfig()
-    return (
+    signed = (
         batch.withColumn("__norm", normalize_text(F.col("transcript")))
         # sketch_k = n_bucket_keys: only the exploded key prefix matters
         .withColumn(
             "__sketch",
             _sketch_expr(cfg.shingle_k, n_bucket_keys, hash_fn, hash_type),
         )
-        .select(F.explode("__sketch").alias("bucket_key"))
-        .groupBy("bucket_key")
-        .agg(F.count(F.lit(1)).alias("n_members"))
-        .filter(F.col("n_members") >= min_members)
-        .orderBy(F.desc("n_members"), "bucket_key")
+    )
+    if id_col is not None:
+        counted = (
+            signed.select(
+                F.col(id_col).alias("__id"),
+                F.explode("__sketch").alias("bucket_key"),
+            )
+            .groupBy("bucket_key")
+            .agg(F.count_distinct("__id").alias("n_members"))
+        )
+    else:
+        counted = (
+            signed.select(F.explode("__sketch").alias("bucket_key"))
+            .groupBy("bucket_key")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+        )
+    return counted.filter(F.col("n_members") >= min_members).orderBy(
+        F.desc("n_members"), "bucket_key"
     )
 
 

@@ -313,3 +313,60 @@ def test_streaming_join_bucket_stoplist(spark):
             spark.readStream.schema(static.schema).json(path),
             min_est_jaccard=0.5, n_bucket_keys=4, bucket_stoplist=md5_twin,
         )
+
+
+def test_stoplist_cache_reuse_and_release(spark):
+    """r6 lifecycle hygiene (ADVICE r5): applying the SAME stop-key
+    frame twice pins ONE persisted copy (not one per operator call);
+    an oversized value list routes through the broadcast anti-join
+    instead of a giant literal isin; release_stoplists() unpersists
+    the registry. Shedding semantics are unchanged either way."""
+    from sems_event_deduplication_spark.streaming import stream_dedup as S
+
+    S.release_stoplists()  # isolate from other tests
+    signed = spark.range(100).select(
+        F.concat(F.lit("c"), F.col("id")).alias("clip_id"),
+        F.pmod(F.col("id"), F.lit(10)).alias("bucket_key"),
+    )
+    stop_frame = spark.createDataFrame(
+        [(0,), (1,)], "bucket_key bigint"
+    )
+    out1 = S._apply_bucket_stoplist(signed, stop_frame)
+    out2 = S._apply_bucket_stoplist(signed, stop_frame)
+    assert len(S._STOPLIST_CACHE) == 1  # one pinned copy for both calls
+    assert out1.count() == out2.count() == 80
+
+    # oversized value list -> DataFrame anti-join path, same result
+    big_list = list(range(2, 10)) + list(range(10_000, 10_000 + S._STOPLIST_ISIN_MAX))
+    out3 = S._apply_bucket_stoplist(signed, big_list)
+    assert "isin" not in out3._jdf.queryExecution().analyzed().toString()
+    assert out3.count() == 20  # keys 2..9 shed, 0/1 kept
+    assert len(S._STOPLIST_CACHE) == 2
+
+    released = S.release_stoplists()
+    assert released == 2 and len(S._STOPLIST_CACHE) == 0
+
+
+def test_hot_bucket_keys_distinct_ids(spark):
+    """``id_col`` counts distinct documents: a batch where one doc's
+    row is repeated 6x must not stop-list that doc's keys (row-count
+    mode would, silently shedding its recall — ADVICE r5)."""
+    from sems_event_deduplication_spark.streaming.stream_dedup import (
+        hot_bucket_keys,
+    )
+
+    rows = [
+        {"clip_id": "dup", "transcript": "one repeated ingest row here okay"}
+        for _ in range(6)
+    ] + [
+        {"clip_id": f"b{i}", "transcript": "shared boilerplate footer text"}
+        for i in range(6)
+    ]
+    batch = spark.createDataFrame(pd.DataFrame(rows))
+    by_rows = hot_bucket_keys(batch, n_bucket_keys=4, min_members=5)
+    by_ids = hot_bucket_keys(batch, n_bucket_keys=4, min_members=5, id_col="clip_id")
+    # row mode flags both the repeated row's keys and the boilerplate's
+    assert by_rows.count() == 8
+    # distinct-id mode flags ONLY the boilerplate keys (6 distinct docs)
+    ids_rows = by_ids.collect()
+    assert len(ids_rows) == 4 and all(r["n_members"] == 6 for r in ids_rows)
