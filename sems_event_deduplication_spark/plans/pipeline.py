@@ -359,16 +359,37 @@ class DedupPipeline:
         # The band-bucket exchange (explode -> window on (band_id,
         # band_hash)) is the shared substrate of candidate generation,
         # the star-edge observability stats, and the containment
-        # pre-filter. Compute it ONCE per modality, persist it (narrow:
-        # id + band ints + two window columns), and let every consumer
-        # read the cache — unshared, the stats pass alone re-ran the
-        # full explode + shuffle per modality (2 extra jobs that
-        # dominated the audio wall on slow filesystems).
+        # pre-filter. Compute it ONCE — r6: for BOTH modalities in a
+        # single exchange — persist it (narrow: id + band ints + two
+        # window columns), and let every consumer read the cache.
+        # Text and audio bands are concatenated before the explode, so
+        # the positional band_id is 0..bands-1 for text and
+        # bands..bands+simhash_bands-1 for audio: the id spaces are
+        # disjoint, buckets can never mix across modalities, and each
+        # modality's consumers filter their slice of the one cached,
+        # already-partitioned frame (one shuffle + one cache
+        # materialization instead of two of each; per-modality pair
+        # sets and bucket stats are unchanged because every
+        # (band_id, band_hash) group is identical to the split form —
+        # the audio band_hash already encodes its own band index, so
+        # only the internal positional id shifts).
         lsh_stats: dict = {}
-        sized_text = lsh.size_buckets(
-            lsh.explode_bands(sigs, "clip_id", "bands")
+        n_text_bands = cfg.bands
+        all_bands = (
+            F.concat(F.col("bands"), F.col("audio_bands"))
+            if with_audio
+            else F.col("bands")
+        )
+        sized_all = lsh.size_buckets(
+            lsh.explode_bands(sigs.withColumn("__all_bands", all_bands),
+                              "clip_id", "__all_bands")
         ).persist()
-        sized_audio = None
+        sized_text = sized_all.filter(F.col("band_id") < n_text_bands)
+        sized_audio = (
+            sized_all.filter(F.col("band_id") >= n_text_bands)
+            if with_audio
+            else None
+        )
         sized_lm = None
         stats_future = None
         # everything from candidates through verified runs under one
@@ -380,9 +401,6 @@ class DedupPipeline:
             cand_text = maybe_stage(cand_text, "candidates_text")
 
             if with_audio:
-                sized_audio = lsh.size_buckets(
-                    lsh.explode_bands(sigs, "clip_id", "audio_bands")
-                ).persist()
                 cand_audio = lsh.candidate_pairs(sized_audio, cfg.max_bucket_size)
                 cand_audio = maybe_stage(cand_audio, "candidates_audio")
             else:
@@ -509,9 +527,7 @@ class DedupPipeline:
                 from concurrent.futures import wait as _fwait
 
                 _fwait([stats_future])
-            sized_text.unpersist()
-            if sized_audio is not None:
-                sized_audio.unpersist()
+            sized_all.unpersist()
             if sized_lm is not None:
                 sized_lm.unpersist()
         lsh_stats["cc"] = cc_info
