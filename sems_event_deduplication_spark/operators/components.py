@@ -183,20 +183,48 @@ def connected_components(
         F.col("u") != F.col("v")
     ).distinct().localCheckpoint(eager=False)
 
-    # materializes the checkpoint AND seeds convergence: if the input is
-    # already at fixpoint the loop below exits after one iteration
+    if local_threshold > 0:
+        # ONE driver job decides the path AND fetches the edges (r6):
+        # limit(threshold+1).toPandas() materializes the lazy
+        # checkpoint; when it returns <= threshold rows those rows ARE
+        # the complete distinct edge set, so the union-find runs
+        # without the separate fingerprint-count job the old gate paid
+        # (2 jobs -> 1 on the small-graph path every pipeline run
+        # takes at bench scale). One extra row means the graph is big:
+        # fall through to the distributed loop, whose fingerprint job
+        # reuses the materialized checkpoint.
+        probe = e.limit(local_threshold + 1).toPandas()
+        if len(probe) <= local_threshold:
+            if info is not None:
+                info["n_edges"] = len(probe)
+                info["mode"], info["iterations"] = "local", 0
+            if len(probe) == 0:
+                # no edges: every node is a singleton; match the
+                # distributed path's empty (clip_id, component) output
+                utype = dict(
+                    zip(e.schema.names, [f.dataType for f in e.schema.fields])
+                )
+                from pyspark.sql import types as T
+
+                return edges.sparkSession.createDataFrame(
+                    [],
+                    T.StructType([
+                        T.StructField("clip_id", utype["u"], True),
+                        T.StructField("component", utype["v"], True),
+                    ]),
+                )
+            utype = dict(zip(e.schema.names, [f.dataType for f in e.schema.fields]))
+            return _local_union_find(
+                probe, utype["u"], utype["v"], edges.sparkSession,
+            )
+
+    # seeds convergence (and, when the local gate above fell through,
+    # reports the exact edge count): if the input is already at
+    # fixpoint the loop below exits after one iteration
     prev_fp = _edge_fingerprint(e)
     n_edges = prev_fp[0]
     if info is not None:
         info["n_edges"] = n_edges
-
-    if 0 < n_edges <= local_threshold:
-        if info is not None:
-            info["mode"], info["iterations"] = "local", 0
-        utype = dict(zip(e.schema.names, [f.dataType for f in e.schema.fields]))
-        return _local_union_find(
-            e.toPandas(), utype["u"], utype["v"], edges.sparkSession,
-        )
 
     iters = 0
     for _ in range(max_iterations):
