@@ -84,7 +84,8 @@ def run_audio(reps: int = 1) -> dict:
     spark = _spark()
     out = []
     corpus_dir = os.environ.get("SPARK_GRAFT_CORPUS")
-    for _ in range(reps):
+    n = 0
+    for _ in range(max(1, reps)):
         n, wall, stages, corpus_dir = B.run_audio_dedup(spark, corpus_dir)
         out.append({"wall": round(wall, 3), "stages": stages})
     return {"n_clips": n, "runs": out}

@@ -46,10 +46,6 @@ def get_spark(
             os.environ.get("SPARK_ARROW_BATCH", "10000"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
-        .config(
-            "spark.driver.extraJavaOptions",
-            os.environ.get("SPARK_GRAFT_JVM_OPTS", ""),
-        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # streaming state (r5): RocksDB provider with changelog
@@ -75,6 +71,13 @@ def get_spark(
             "true",
         )
     )
+    # driver JVM options only when explicitly requested: setting the
+    # conf unconditionally (even to "") would override any
+    # spark.driver.extraJavaOptions a deployment configured in
+    # spark-defaults.conf
+    jvm_opts = os.environ.get("SPARK_GRAFT_JVM_OPTS", "")
+    if jvm_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", jvm_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

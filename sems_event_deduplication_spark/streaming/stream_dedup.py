@@ -348,7 +348,13 @@ def _sketch_prep(
 # the documented deployment shape — now pins ONE cached copy instead of
 # one per operator call, and `release_stoplists()` unpersists them all
 # when the queries stop (ADVICE r5: per-call persist leak).
-_STOPLIST_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
+# Keys: id(frame) for DataFrame inputs (entry stores the source frame
+# so a recycled id cannot alias), or ("vals", <sorted value tuple>) for
+# oversized value lists — value-keyed, because each call materializes a
+# FRESH internal DataFrame for a list input and an id()-keyed entry
+# would never hit again (one pinned copy per call: exactly the leak
+# this registry exists to prevent).
+_STOPLIST_CACHE: dict[object, tuple[DataFrame | None, DataFrame]] = {}
 
 # a literal isin above this many values bloats the plan/codegen that
 # every micro-batch re-compiles; past it the value list becomes a
@@ -402,7 +408,10 @@ def _apply_bucket_stoplist(signed: DataFrame, bucket_stoplist) -> DataFrame:
     if bucket_stoplist is None:
         return signed
     if not isinstance(bucket_stoplist, DataFrame):
-        vals = [int(v) for v in bucket_stoplist]
+        # dedup + sort: isin semantics are unchanged, the literal is
+        # deterministic, and the tuple doubles as the value-based cache
+        # key for the anti-join path below
+        vals = sorted({int(v) for v in bucket_stoplist})
         if not vals:
             return signed
         if len(vals) <= _STOPLIST_ISIN_MAX:
@@ -410,11 +419,24 @@ def _apply_bucket_stoplist(signed: DataFrame, bucket_stoplist) -> DataFrame:
         # a huge literal list (min_members bounds the count only at
         # n_rows/min_members) would become a giant expression tree
         # recompiled per micro-batch — route it through the same
-        # broadcast anti-join as the DataFrame form instead
+        # broadcast anti-join as the DataFrame form. Cache by VALUE:
+        # each call builds a fresh DataFrame here, so an id()-keyed
+        # entry could never hit again and every call would pin a new
+        # persisted copy (the per-call leak this registry fixes).
+        cache_key = ("vals", tuple(vals))
+        cached_entry = _STOPLIST_CACHE.get(cache_key)
+        if cached_entry is not None:
+            return signed.join(
+                F.broadcast(cached_entry[1]), "bucket_key", "left_anti"
+            )
         spark = signed.sparkSession
-        bucket_stoplist = spark.createDataFrame(
-            [(v,) for v in vals], "bucket_key bigint"
+        stop = (
+            spark.createDataFrame([(v,) for v in vals], "bucket_key bigint")
+            .persist()
         )
+        stop.count()  # materialize once, not once per micro-batch
+        _STOPLIST_CACHE[cache_key] = (None, stop)
+        return signed.join(F.broadcast(stop), "bucket_key", "left_anti")
     dtype = dict(bucket_stoplist.dtypes).get("bucket_key")
     if dtype not in ("bigint", "int", "smallint", "tinyint"):
         raise ValueError(

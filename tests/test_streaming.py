@@ -343,6 +343,13 @@ def test_stoplist_cache_reuse_and_release(spark):
     assert out3.count() == 20  # keys 2..9 shed, 0/1 kept
     assert len(S._STOPLIST_CACHE) == 2
 
+    # value lists are cached by VALUE, not by the fresh internal frame's
+    # id(): re-applying the same values (any order, with repeats) must
+    # reuse the one pinned copy instead of persisting another
+    out4 = S._apply_bucket_stoplist(signed, list(reversed(big_list)) + [2])
+    assert out4.count() == 20
+    assert len(S._STOPLIST_CACHE) == 2
+
     released = S.release_stoplists()
     assert released == 2 and len(S._STOPLIST_CACHE) == 0
 
